@@ -1,0 +1,133 @@
+"""The fused sense->classify pipeline (the framework's flagship model).
+
+This is the TPU-native re-design of the reference's entire per-node hot path —
+``ECR_rx_worker``'s sample loop + ``CE_Predictive_Node::execute``'s
+FFT/feature/MLP chain (src/extensible_cognitive_radio.cpp:1258-1382;
+CE_Predictive_Node.cpp:127-289) — as ONE jitted batched graph:
+
+    IQ stream (C cycles x A buffers x N samples, complex64)
+      -> batched DFT (4 MXU matmuls)          [fft.spectrum_magnitude]
+      -> magnitude average over A buffers      [fft.averaged_magnitude_spectrum]
+      -> band-energy features (MXU epilogue)   [bands.band_features]
+      -> 4-5-3 sigmoid MLP                     [mlp.mlp_forward]
+      -> occupancy decision + channel policy   [detector]
+
+Decisions per cycle are data-independent; only the tx-frequency trace carries
+cross-cycle state (the "else: keep sensing" branch), handled by a tiny
+``lax.scan`` over scalar per-cycle decisions AFTER the heavy batched math, so
+nothing serializes the MXU work.
+
+Cadence note: the reference senses 10 x 512-sample buffers every 100 ms and
+idles in between. The framework processes the same math back-to-back over
+arbitrarily many cycles per dispatch; the runtime layer (:mod:`..runtime`)
+reintroduces the wall-clock cadence when emulating scenario timing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cognitive_radio_network_tpu.signal import bands as bands_mod
+from cognitive_radio_network_tpu.signal import detector as det
+from cognitive_radio_network_tpu.signal import fft as fft_mod
+from cognitive_radio_network_tpu.signal.mlp import MLPParams
+
+__all__ = ["SenseConfig", "sense_classify", "sense_classify_trace", "make_sense_fn"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SenseConfig:
+    """Static sensing parameters (CE_Predictive_Node.hpp:30-57)."""
+
+    fft_length: int = 512
+    averaging: int = 10
+    threshold: float = 0.8
+    bands: bands_mod.SensingBands = bands_mod.DEFAULT_BANDS
+    channels_hz: tuple[float, float, float] = det.SU_CHANNELS_HZ
+    sample_rate_hz: float = 13e6
+    center_hz: float = 833e6
+    sensing_delay_ms: float = 100.0
+    fft_mode: str = "dft_matmul"  # "dft_matmul" (MXU) or "xla" (jnp.fft)
+    # "highest" = true f32 matmuls (bit-matching decisions guarantee);
+    # "default" = bf16 MXU passes (~6x faster, no formal guarantee).
+    precision: str = "highest"
+
+    @property
+    def samples_per_cycle(self) -> int:
+        return self.fft_length * self.averaging
+
+
+def sense_classify(
+    iq: jax.Array, params: MLPParams, cfg: SenseConfig = SenseConfig()
+):
+    """Batched sense->classify over C cycles.
+
+    iq: complex64 (C, A, N) — or the canonical float32 IQ planes
+    (C, A, N, 2) / any flat shape reshapeable to them. Returns dict of
+    per-cycle arrays:
+      avg_spectrum (C, N), features (C, 4), outputs (C, 3), decision (C,).
+    """
+    n, a = cfg.fft_length, cfg.averaging
+    if jnp.iscomplexobj(iq):
+        blocks = iq.reshape(-1, a, n)
+    else:
+        blocks = iq.reshape(-1, a, n, 2)
+    avg = fft_mod.averaged_magnitude_spectrum(
+        blocks, averaging=a, mode=cfg.fft_mode, precision=cfg.precision
+    )
+    feats = bands_mod.band_features(avg, cfg.bands)
+    from cognitive_radio_network_tpu.signal.mlp import mlp_forward
+
+    outs = mlp_forward(params, feats)
+    decision = det.occupancy_decision(outs, cfg.threshold)
+    return {
+        "avg_spectrum": avg,
+        "features": feats,
+        "outputs": outs,
+        "decision": decision,
+    }
+
+
+def sense_classify_trace(
+    iq: jax.Array,
+    params: MLPParams,
+    initial_tx_freq_hz: jax.Array,
+    cfg: SenseConfig = SenseConfig(),
+):
+    """sense_classify + the stateful tx-frequency trace.
+
+    Returns (results dict, tx_freq trace (C,) float32): tx_freq[c] is the tx
+    center frequency after cycle c's decision, with "all busy" keeping the
+    previous frequency (CE_Predictive_Node.cpp:245-261).
+    """
+    res = sense_classify(iq, params, cfg)
+
+    def step(freq, decision):
+        new = det.next_tx_channel(decision, freq, cfg.channels_hz)
+        return new, new
+
+    _, trace = jax.lax.scan(
+        step, jnp.asarray(initial_tx_freq_hz, jnp.float32), res["decision"]
+    )
+    return res, trace
+
+
+def make_sense_fn(cfg: SenseConfig = SenseConfig(), *, with_trace: bool = False):
+    """A jitted closure over the static config (donating the IQ buffer)."""
+    if with_trace:
+
+        @jax.jit
+        def fn(iq, params, tx0):
+            return sense_classify_trace(iq, params, tx0, cfg)
+
+        return fn
+
+    @jax.jit
+    def fn(iq, params):
+        return sense_classify(iq, params, cfg)
+
+    return fn

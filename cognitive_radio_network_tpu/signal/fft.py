@@ -1,0 +1,102 @@
+"""Batched spectrum estimation.
+
+The reference senses by running liquid-dsp's scalar 512-point FFT on one
+buffer at a time and accumulating magnitude averages on the CPU
+(CE_Predictive_Node.cpp:148-155).  On TPU the same math is expressed as large
+batched matmuls so it lands on the MXU:
+
+* a length-N DFT is four real (B, N) @ (N, N) matmuls (real/imag split), which
+  for small N (64-1024) is far better MXU utilisation than a scalar FFT and
+  lets XLA fuse the magnitude + averaging + band-reduction epilogue into one
+  kernel;
+* ``mode="xla"`` falls back to ``jnp.fft.fft`` for large N where O(N log N)
+  wins.
+
+All functions are shape-polymorphic over leading batch dims and jit-safe.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["dft_matrices", "spectrum_magnitude", "averaged_magnitude_spectrum"]
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_matrices_np(n: int) -> tuple[np.ndarray, np.ndarray]:
+    k = np.arange(n)
+    # Build the angle in float64 then cast: for n<=4096 this keeps the DFT
+    # matrix entries accurate to f32 ulp, which the golden tests rely on.
+    ang = -2.0 * np.pi * np.outer(k, k) / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def dft_matrices(n: int, dtype=jnp.float32) -> tuple[jax.Array, jax.Array]:
+    """Real and imaginary parts of the forward DFT matrix ``exp(-2*pi*i*jk/n)``."""
+    fre, fim = _dft_matrices_np(n)
+    return jnp.asarray(fre, dtype), jnp.asarray(fim, dtype)
+
+
+def spectrum_magnitude(
+    x: jax.Array, *, mode: str = "dft_matmul", precision: str = "highest"
+) -> jax.Array:
+    """|FFT(x)| over the sample axis.
+
+    x: complex (..., N) or float32 IQ planes (..., N, 2).
+    Returns float32 (..., N) — the ``cabsf(buffer_F[i])`` of
+    CE_Predictive_Node.cpp:153, batched.
+
+    ``dft_matmul`` computes X = x @ F with the real/imag split
+    (Xre = xr@Fre - xi@Fim, Xim = xr@Fim + xi@Fre): four MXU matmuls.
+    ``precision``: "highest" (true f32, required for the bit-matching
+    occupancy-decision guarantee) or "default" (bf16 multiplies, ~6x faster
+    on the MXU, decisions still match in practice but without the guarantee).
+    """
+    from cognitive_radio_network_tpu.signal.iq import split_iq
+
+    xr, xi = split_iq(x)
+    n = xr.shape[-1]
+    if mode == "xla":
+        z = (xr + 1j * xi).astype(jnp.complex64)
+        return jnp.abs(jnp.fft.fft(z, axis=-1)).astype(jnp.float32)
+    if mode != "dft_matmul":
+        raise ValueError(f"unknown spectrum mode: {mode}")
+    prec = jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    fre, fim = dft_matrices(n)
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=prec, preferred_element_type=jnp.float32)
+
+    xre = mm(xr, fre) - mm(xi, fim)
+    xim = mm(xr, fim) + mm(xi, fre)
+    return jnp.sqrt(xre * xre + xim * xim)
+
+
+def averaged_magnitude_spectrum(
+    blocks: jax.Array,
+    *,
+    averaging: int | None = None,
+    mode: str = "dft_matmul",
+    precision: str = "highest",
+) -> jax.Array:
+    """Magnitude-average spectra over an averaging axis.
+
+    blocks: complex (..., A, N) or planes (..., A, N, 2) — A consecutive FFT
+    buffers per sense cycle.
+    Returns float32 (..., N): ``fft_avg[i] = sum_a |X_a[i]| / A`` exactly as
+    CE_Predictive_Node.cpp:152-154 (accumulate |X|/fft_averaging).
+
+    Accumulation order note: the reference adds |X|/A buffer-by-buffer in f32;
+    we sum then divide, which differs only by f32 rounding. The golden tests
+    bound this below the decision SNR margin.
+    """
+    mags = spectrum_magnitude(blocks, mode=mode, precision=precision)
+    if averaging is not None and mags.shape[-2] != averaging:
+        raise ValueError(
+            f"expected averaging axis {averaging}, got shape {blocks.shape}"
+        )
+    return jnp.mean(mags, axis=-2)
