@@ -1,0 +1,122 @@
+"""OFDM link loopback tests: framegen -> channel -> framesync."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cognitive_radio_network_tpu.phy import OFDMFrameConfig, OFDMFrameGen, OFDMFrameSync
+from cognitive_radio_network_tpu.signal.msequence import msequence_bytes
+
+
+def _frames(gen, rng, b=4):
+    headers = rng.integers(0, 256, (b, 8)).astype(np.uint8)
+    payloads = rng.integers(0, 256, (b, gen.payload_len)).astype(np.uint8)
+    return headers, payloads
+
+
+class TestLoopbackClean:
+    @pytest.mark.parametrize(
+        "mod,fec0,fec1",
+        [("qam4", "h128", "none"), ("qam16", "v27", "none"), ("bpsk", "none", "none")],
+    )
+    def test_roundtrip(self, rng, mod, fec0, fec1):
+        cfg = OFDMFrameConfig(mod_scheme=mod, fec0=fec0, fec1=fec1)
+        gen = OFDMFrameGen(cfg, payload_len=64)
+        sync = OFDMFrameSync(cfg, payload_len=64)
+        headers, payloads = _frames(gen, rng)
+        iq = gen.assemble(headers, payloads)
+        stats, hdr, pay = sync.demod_aligned(iq)
+        assert all(s.header_valid and s.payload_valid for s in stats)
+        np.testing.assert_array_equal(hdr, headers)
+        np.testing.assert_array_equal(pay, payloads)
+        assert all(s.evm < -20 for s in stats)  # clean channel: tiny EVM
+
+    def test_planes_input(self, rng):
+        cfg = OFDMFrameConfig()
+        gen = OFDMFrameGen(cfg, payload_len=32)
+        sync = OFDMFrameSync(cfg, payload_len=32)
+        headers, payloads = _frames(gen, rng, b=2)
+        planes = gen.assemble(headers, payloads, as_planes=True)
+        assert planes.shape[-1] == 2 and planes.dtype == jnp.float32
+        stats, hdr, pay = sync.demod_aligned(planes)
+        np.testing.assert_array_equal(pay, payloads)
+
+    def test_ecr_default_config_dimensions(self):
+        """ECR defaults: 32 subcarriers, cp 16, taper 4, qam4, crc32, h128
+        (src/extensible_cognitive_radio.cpp:52-56, :100-104)."""
+        cfg = OFDMFrameConfig()
+        assert (cfg.num_subcarriers, cfg.cp_len, cfg.taper_len) == (32, 16, 4)
+        assert (cfg.mod_scheme, cfg.crc_scheme, cfg.fec0) == ("qam4", "crc32", "h128")
+        gen = OFDMFrameGen(cfg, payload_len=64)
+        assert gen.frame_len == 2 * 32 + 48 + gen.num_symbols * 48
+
+
+class TestLoopbackImpaired:
+    def test_awgn(self, rng):
+        cfg = OFDMFrameConfig(mod_scheme="qam4", fec0="h128")
+        gen = OFDMFrameGen(cfg, payload_len=64)
+        sync = OFDMFrameSync(cfg, payload_len=64)
+        headers, payloads = _frames(gen, rng)
+        iq = np.asarray(gen.assemble(headers, payloads))
+        snr_db = 20.0
+        p = np.mean(np.abs(iq) ** 2)
+        sigma = np.sqrt(p / 10 ** (snr_db / 10) / 2)
+        noisy = iq + sigma * (
+            rng.standard_normal(iq.shape) + 1j * rng.standard_normal(iq.shape)
+        ).astype(np.complex64)
+        stats, hdr, pay = sync.demod_aligned(jnp.asarray(noisy))
+        assert all(s.payload_valid for s in stats)
+        np.testing.assert_array_equal(pay, payloads)
+        assert all(-30 < s.evm < -5 for s in stats)
+
+    def test_cfo_and_detection(self, rng):
+        cfg = OFDMFrameConfig()
+        gen = OFDMFrameGen(cfg, payload_len=48)
+        sync = OFDMFrameSync(cfg, payload_len=48)
+        headers, payloads = _frames(gen, rng, b=1)
+        iq = np.asarray(gen.assemble(headers, payloads))[0]
+        # place the frame at an offset inside a noisy block, apply CFO
+        offset = 333
+        cfo = 0.002  # rad/sample
+        n_total = offset + len(iq) + 500
+        block = 0.01 * (
+            rng.standard_normal(n_total) + 1j * rng.standard_normal(n_total)
+        ).astype(np.complex64)
+        n = np.arange(len(iq))
+        block[offset : offset + len(iq)] += iq * np.exp(1j * cfo * n)
+        got_off, stats, hdr, pay = sync.receive(jnp.asarray(block))
+        assert got_off is not None
+        assert abs(got_off - offset) <= 2
+        assert abs(stats.cfo - cfo) < 5e-4
+        assert stats.payload_valid
+        np.testing.assert_array_equal(pay, payloads[0])
+
+    def test_flat_channel_gain_phase(self, rng):
+        """S1 channel estimation must absorb a flat complex channel."""
+        cfg = OFDMFrameConfig(mod_scheme="qam16", fec0="h128")
+        gen = OFDMFrameGen(cfg, payload_len=40)
+        sync = OFDMFrameSync(cfg, payload_len=40)
+        headers, payloads = _frames(gen, rng, b=2)
+        iq = np.asarray(gen.assemble(headers, payloads))
+        h = 0.35 * np.exp(1j * 1.1)
+        stats, hdr, pay = sync.demod_aligned(jnp.asarray(iq * h))
+        assert all(s.payload_valid for s in stats)
+        np.testing.assert_array_equal(pay, payloads)
+
+
+class TestBEROracle:
+    def test_msequence_payload_ber(self, rng):
+        """The reference's known-payload BER oracle: payload is the degree-12
+        m-sequence (src/extensible_cognitive_radio.cpp:88-94); rx computes BER
+        vs the regenerated sequence."""
+        cfg = OFDMFrameConfig(mod_scheme="qam4", fec0="none")
+        payload = msequence_bytes(256)
+        gen = OFDMFrameGen(cfg, payload_len=256)
+        sync = OFDMFrameSync(cfg, payload_len=256)
+        header = np.zeros(8, np.uint8)
+        iq = gen.assemble(header[None], payload[None])
+        _, _, pay = sync.demod_aligned(iq)
+        known = msequence_bytes(256)
+        ber = np.unpackbits(pay[0] ^ known).mean()
+        assert ber == 0.0
