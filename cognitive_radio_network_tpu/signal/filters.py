@@ -83,12 +83,12 @@ def kaiser_lowpass_taps(num_taps: int, cutoff: float, attenuation_db: float = 60
 def channelizer_prototype(num_channels: int, taps_per_channel: int) -> np.ndarray:
     """Prototype low-pass for an M-channel polyphase filterbank.
 
-    Length M*P, cutoff 1/(2M), scaled so each channel has unity passband gain.
+    Length M*P, cutoff 1/(2M), unit DC gain — combined with the FFT across
+    phases this gives each channel unity passband gain for a centered tone.
     Returned flat; reshape to (P, M) for the phase decomposition.
     """
     m, p = num_channels, taps_per_channel
-    taps = kaiser_lowpass_taps(m * p, 0.5 / m, 70.0)
-    return (taps * m).astype(np.float32)
+    return kaiser_lowpass_taps(m * p, 0.5 / m, 70.0).astype(np.float32)
 
 
 def blackman_harris(n: int) -> np.ndarray:

@@ -1,0 +1,133 @@
+"""Channelizer + sharded pipeline tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cognitive_radio_network_tpu.signal.channelizer import (
+    channelize,
+    channelize_planes,
+    polyphase_taps,
+)
+from cognitive_radio_network_tpu.signal.iq import to_planes, from_planes
+from cognitive_radio_network_tpu.parallel import (
+    MeshSpec,
+    make_mesh,
+    sharded_channelize,
+    WidebandConfig,
+    wideband_sense,
+)
+
+
+def _tone(freq_norm, n):
+    return np.exp(2j * np.pi * freq_norm * np.arange(n)).astype(np.complex64)
+
+
+class TestChannelizer:
+    def test_tone_lands_in_its_channel(self):
+        m, p, t = 16, 8, 256
+        taps = jnp.asarray(polyphase_taps(m, p))
+        k = 5
+        x = _tone(k / m, t * m)
+        y = np.asarray(channelize(jnp.asarray(x), taps))  # (T, M)
+        steady = np.abs(y[p:])  # skip filter warmup
+        power = (steady**2).mean(axis=0)
+        assert power[k] > 0.5
+        others = np.delete(power, k)
+        assert others.max() < 1e-3 * power[k]
+
+    def test_offset_tone_frequency(self):
+        """Tone at (k + delta)/M shows up in channel k rotating at delta per
+        output sample."""
+        m, p, t = 16, 8, 512
+        taps = jnp.asarray(polyphase_taps(m, p))
+        k, delta = 3, 0.1  # delta in channel-rate cycles/sample
+        x = _tone((k + delta) / m, t * m)
+        y = np.asarray(channelize(jnp.asarray(x), taps))[:, k]
+        ph = np.angle(y[p + 1 :] * np.conj(y[p:-1]))
+        est = np.median(ph) / (2 * np.pi)
+        assert abs(est - delta) < 0.01
+
+    def test_history_seam(self, rng):
+        """Splitting a stream into blocks with history carry == one-shot."""
+        m, p = 8, 8
+        taps = jnp.asarray(polyphase_taps(m, p))
+        x = (rng.standard_normal(64 * m) + 1j * rng.standard_normal(64 * m)).astype(
+            np.complex64
+        )
+        full = np.asarray(channelize(jnp.asarray(x), taps))
+        xp = x.reshape(-1, m)
+        half = 32
+        y1 = channelize(jnp.asarray(x[: half * m]), taps)
+        hist = jnp.asarray(xp[half - (p - 1) : half])
+        y2 = channelize(jnp.asarray(x[half * m :]), taps, history=hist)
+        stitched = np.concatenate([np.asarray(y1), np.asarray(y2)])
+        np.testing.assert_allclose(stitched, full, rtol=1e-4, atol=1e-5)
+
+    def test_planes_matches_complex(self, rng):
+        m = 8
+        taps = jnp.asarray(polyphase_taps(m, 8))
+        x = (rng.standard_normal(32 * m) + 1j * rng.standard_normal(32 * m)).astype(
+            np.complex64
+        )
+        yc = np.asarray(channelize(jnp.asarray(x), taps))
+        yp = np.asarray(channelize_planes(jnp.asarray(to_planes(x)), taps))
+        np.testing.assert_allclose(from_planes(yp), yc, rtol=1e-4, atol=1e-5)
+
+
+class TestShardedChannelize:
+    def test_matches_single_device(self, rng):
+        m, p = 16, 8
+        taps = jnp.asarray(polyphase_taps(m, p))
+        t = 64 * 8  # divisible by 8 time shards
+        x = (rng.standard_normal(t * m) + 1j * rng.standard_normal(t * m)).astype(
+            np.complex64
+        )
+        planes = jnp.asarray(to_planes(x))
+        want = np.asarray(channelize_planes(planes, taps))
+
+        mesh = make_mesh(MeshSpec(time=8))
+        got = np.asarray(sharded_channelize(planes, taps, mesh))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_batched_data_parallel(self, rng):
+        m, p = 8, 4
+        taps = jnp.asarray(polyphase_taps(m, p))
+        t = 32 * 4
+        xb = (
+            rng.standard_normal((2, t * m)) + 1j * rng.standard_normal((2, t * m))
+        ).astype(np.complex64)
+        planes = jnp.asarray(to_planes(xb))
+        want = np.asarray(channelize_planes(planes, taps))
+
+        mesh = make_mesh(MeshSpec(time=4, data=2))
+        got = np.asarray(
+            sharded_channelize(planes, taps, mesh, batch_axis="data")
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestWideband:
+    def test_energy_detector_finds_active_channels(self, rng):
+        cfg = WidebandConfig(num_channels=16, taps_per_channel=8, block_len=64)
+        m = cfg.num_channels
+        t = 64 * 8  # 8 cycles of 64, divisible by 4 time shards
+        active = [2, 7, 11]
+        x = 0.001 * (
+            rng.standard_normal(t * m) + 1j * rng.standard_normal(t * m)
+        ).astype(np.complex64)
+        for k in active:
+            x += _tone(k / m, t * m)
+        planes = jnp.asarray(to_planes(x))
+
+        mesh = make_mesh(MeshSpec(time=4, channel=2))
+        res = wideband_sense(planes, jnp.asarray(cfg.taps()), mesh, cfg)
+        occ = np.asarray(res["occupied"])  # (C, M)
+        # ignore the first cycle (filter warmup)
+        occ = occ[1:]
+        for k in range(m):
+            if k in active:
+                assert occ[:, k].all(), f"channel {k} should be occupied"
+            else:
+                assert not occ[:, k].any(), f"channel {k} should be free"
