@@ -1,0 +1,83 @@
+"""CLI entry — the ``crts_controller`` equivalent.
+
+    python -m cognitive_radio_network_tpu scenario scenarios/predictive_model.cfg
+    python -m cognitive_radio_network_tpu master scenarios/scenario_master_template.cfg
+
+Runs scenarios in-process against the simulated medium and writes structured
+logs (npz + optional Octave export) under ``logs/``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def main(argv=None) -> int:
+    import os
+
+    # Some site configurations register a TPU backend through jax.config,
+    # which silently overrides the JAX_PLATFORMS env var; re-assert it so
+    # `JAX_PLATFORMS=cpu python -m cognitive_radio_network_tpu ...` behaves.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    ap = argparse.ArgumentParser(prog="cognitive_radio_network_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("scenario", help="run one scenario file")
+    sp.add_argument("path")
+    sp.add_argument("-r", "--reps", type=int, default=1)
+    sp.add_argument("-l", "--log-dir", default="logs")
+    sp.add_argument("-t", "--run-time", type=float, default=None)
+
+    mp = sub.add_parser("master", help="run a master scenario list")
+    mp.add_argument("path")
+    mp.add_argument("-l", "--log-dir", default="logs")
+
+    ep = sub.add_parser("engines", help="list registered engines/controllers")
+
+    args = ap.parse_args(argv)
+
+    from cognitive_radio_network_tpu.runtime import (
+        LogSink,
+        MasterConfig,
+        ScenarioRuntime,
+        controller_names,
+        engine_names,
+        load_master,
+        load_scenario,
+        run_master,
+    )
+
+    if args.cmd == "engines":
+        print("cognitive engines:", ", ".join(engine_names()))
+        print("scenario controllers:", ", ".join(controller_names()))
+        return 0
+
+    if args.cmd == "scenario":
+        cfg = load_scenario(args.path)
+        if args.run_time is not None:
+            cfg.run_time = args.run_time
+        master = MasterConfig(scenarios=[(cfg.name, args.reps)], octave_log_summary=True)
+        summaries = run_master(master, lambda name: load_scenario(args.path), args.log_dir)
+    else:
+        master = load_master(args.path)
+        base = Path(args.path).parent
+        summaries = run_master(
+            master, lambda name: load_scenario(base / f"{name}.cfg"), args.log_dir
+        )
+
+    for s in summaries:
+        print(
+            f"{s.scenario} rep {s.rep}: bytes_sent={s.bytes_sent} "
+            f"bytes_received={s.bytes_received} valid_frames={s.valid_frames}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -10,9 +10,11 @@ Frame format (time domain), for M subcarriers / CP-length C:
 * **S1**: full known QPSK PRBS symbol (with CP) for one-shot channel
   estimation (replaces liquid's S1/long sequence).
 * **header**: 8 user bytes (the reference packs frame number + type + 6
-  control-info bytes here, src/extensible_cognitive_radio.cpp:893-896) +
-  CRC-32, Hamming(12,8) FEC, BPSK — fixed robust scheme, like liquid's
-  internal header coding.
+  control-info bytes here, src/extensible_cognitive_radio.cpp:893-896) plus a
+  6-byte internal PHY header [payload_len:2 | mod | fec0 | fec1 | crc] so the
+  receiver adapts per frame (liquid's ofdmflexframe carries the same info in
+  its internal header) + CRC-32, Hamming(12,8) FEC, BPSK — fixed robust
+  scheme, like liquid's internal header coding.
 * **payload**: bytes + CRC + fec0 + fec1 (outer), modulated at the
   configured scheme.  Defaults mirror the ECR defaults: 32 subcarriers,
   cp 16, taper 4, QAM4, CRC-32, Hamming(12,8)+none
@@ -43,12 +45,47 @@ from cognitive_radio_network_tpu.phy import modem, subcarriers
 from cognitive_radio_network_tpu.phy.bits import pack_bits, unpack_bits
 from cognitive_radio_network_tpu.signal.msequence import MSequence
 
-__all__ = ["OFDMFrameConfig", "OFDMFrameGen"]
+__all__ = ["OFDMFrameConfig", "OFDMFrameGen", "pack_phy_header", "unpack_phy_header"]
 
-HEADER_BYTES = 8
+HEADER_BYTES = 8  # user header bytes (ECR frame num/type + control info)
+PHY_HEADER_BYTES = 6  # internal: payload_len(2, LE) | mod | fec0 | fec1 | crc
+TOTAL_HEADER_BYTES = HEADER_BYTES + PHY_HEADER_BYTES
 _HEADER_CRC = "crc32"
 _HEADER_FEC = "h128"
 _HEADER_MOD = "bpsk"
+
+
+def pack_phy_header(cfg: "OFDMFrameConfig", payload_len: int) -> np.ndarray:
+    from cognitive_radio_network_tpu.phy import crc as _crc, fec as _fec
+
+    return np.array(
+        [
+            payload_len & 0xFF,
+            (payload_len >> 8) & 0xFF,
+            modem.SCHEMES.index(cfg.mod_scheme),
+            _fec.SCHEMES.index(cfg.fec0),
+            _fec.SCHEMES.index(cfg.fec1),
+            _crc.SCHEMES.index(cfg.crc_scheme),
+        ],
+        np.uint8,
+    )
+
+
+def unpack_phy_header(phy: np.ndarray):
+    """-> (payload_len, mod, fec0, fec1, crc) or None if ids out of range."""
+    from cognitive_radio_network_tpu.phy import crc as _crc, fec as _fec
+
+    payload_len = int(phy[0]) | (int(phy[1]) << 8)
+    try:
+        return (
+            payload_len,
+            modem.SCHEMES[int(phy[2])],
+            _fec.SCHEMES[int(phy[3])],
+            _fec.SCHEMES[int(phy[4])],
+            _crc.SCHEMES[int(phy[5])],
+        )
+    except IndexError:
+        return None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,6 +120,14 @@ def _prbs_bpsk(n: int, seed: int) -> np.ndarray:
     ms = MSequence(m=11, init=seed)
     return np.array([2 * ms.advance() - 1 for _ in range(n)], np.float32).astype(
         np.complex64
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def pilot_sequence(num_symbols: int, n_pilots: int) -> np.ndarray:
+    """Deterministic per-(symbol, pilot) BPSK sequence shared by gen and sync."""
+    return _prbs_bpsk(num_symbols * max(n_pilots, 1), seed=0x2AA).reshape(
+        num_symbols, -1
     )
 
 
@@ -121,7 +166,7 @@ class OFDMFrameGen:
 
         # --- sizing ---
         hdr_enc_bytes = fec_mod.encoded_length(
-            _HEADER_FEC, HEADER_BYTES + crc_mod.crc_sizes(_HEADER_CRC)
+            _HEADER_FEC, TOTAL_HEADER_BYTES + crc_mod.crc_sizes(_HEADER_CRC)
         )
         self.n_header_bits = hdr_enc_bytes * 8
         self.n_header_syms = -(-self.n_header_bits // len(self.data_idx))
@@ -142,18 +187,19 @@ class OFDMFrameGen:
             + self.num_symbols * (m + cfg.cp_len)
         )
         # per-symbol pilot PRBS (BPSK), fixed across frames
-        self.pilots = _prbs_bpsk(
-            self.num_symbols * max(len(self.pilot_idx), 1), seed=0x2AA
-        ).reshape(self.num_symbols, -1)
+        self.pilots = pilot_sequence(self.num_symbols, len(self.pilot_idx))
 
     # ----- host-side bit plumbing -----
 
     def encode_header(self, header: np.ndarray) -> np.ndarray:
-        """8 header bytes -> coded bits (n_header_bits,)."""
+        """8 user header bytes -> coded bits (n_header_bits,), with the
+        internal PHY header (payload_len/mod/fec/crc of this generator)
+        appended before coding."""
         header = np.asarray(header, np.uint8)
         if header.shape != (HEADER_BYTES,):
             raise ValueError(f"header must be {HEADER_BYTES} bytes")
-        with_crc = np.concatenate([header, crc_mod.crc_generate(_HEADER_CRC, header)])
+        full = np.concatenate([header, pack_phy_header(self.cfg, self.payload_len)])
+        with_crc = np.concatenate([full, crc_mod.crc_generate(_HEADER_CRC, full)])
         return unpack_bits(fec_mod.encode(_HEADER_FEC, with_crc))
 
     def encode_payload(self, payload: np.ndarray) -> np.ndarray:

@@ -1,0 +1,261 @@
+"""Typed scenario configuration + libconfig-style parser.
+
+Replaces the three-level libconfig hierarchy of src/crts.cpp (master file ->
+scenario file -> per-node ``nodeN`` blocks, :98-689) with dataclasses, while
+keeping a reader for the reference's ``.cfg`` syntax so existing scenario
+files carry over (``key = value;`` scalars and ``name : { ... };`` groups).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from pathlib import Path
+from typing import Any, Optional
+
+__all__ = [
+    "MasterConfig",
+    "ScenarioConfig",
+    "NodeConfig",
+    "parse_cfg",
+    "scenario_from_dict",
+    "load_scenario",
+    "load_master",
+]
+
+
+@dataclasses.dataclass
+class NodeConfig:
+    """Per-node block (struct node_parameters, include/crts.hpp:102-181)."""
+
+    node_type: str = "cognitive radio"  # "cognitive radio" | "interferer"
+    cognitive_radio_type: str = "ecr"  # "ecr" | "python" (external radios)
+    python_file: str = ""
+    python_args: str = ""
+    team_name: str = ""
+    server_ip: str = "127.0.0.1"
+    crts_ip: str = "10.0.0.2"
+    target_ip: str = "10.0.0.3"
+
+    net_traffic_type: str = "stream"
+    net_burst_length: int = 1
+    net_mean_throughput: float = 1e6
+
+    cognitive_engine: str = "CE_Template"
+    ce_timeout_ms: float = 1000.0
+    ce_args: str = ""
+
+    print_rx_frame_metrics: bool = False
+    log_phy_rx: bool = False
+    log_phy_tx: bool = False
+    log_net_rx: bool = False
+    log_net_tx: bool = False
+    generate_octave_logs: bool = False
+    phy_rx_log_file: str = ""
+    phy_tx_log_file: str = ""
+    net_rx_log_file: str = ""
+    net_tx_log_file: str = ""
+
+    rx_freq: float = 460e6
+    rx_rate: float = 500e3
+    rx_gain: float = 20.0
+    tx_freq: float = 460e6
+    tx_rate: float = 1e6
+    tx_gain: float = 20.0
+    tx_gain_soft: float = -12.0
+
+    rx_subcarriers: int = 32
+    rx_cp_len: int = 16
+    rx_taper_len: int = 4
+    rx_subcarrier_alloc_method: str = "default"
+    rx_guard_subcarriers: int = 2
+    rx_central_nulls: int = 2
+    rx_pilot_freq: int = 4
+    tx_subcarriers: int = 32
+    tx_cp_len: int = 16
+    tx_taper_len: int = 4
+    tx_modulation: str = "qam4"
+    tx_crc: str = "crc32"
+    tx_fec0: str = "h128"
+    tx_fec1: str = "none"
+    tx_subcarrier_alloc_method: str = "default"
+    tx_guard_subcarriers: int = 2
+    tx_central_nulls: int = 2
+    tx_pilot_freq: int = 4
+
+    # interferer-only block (include/crts.hpp:167-180)
+    interference_type: str = "cw"
+    period: float = 1.0
+    duty_cycle: float = 1.0
+    tx_freq_behavior: str = "fixed"
+    tx_freq_min: float = 0.0
+    tx_freq_max: float = 0.0
+    tx_freq_dwell_time: float = 1.0
+    tx_freq_resolution: float = 1e6
+
+
+@dataclasses.dataclass
+class ScenarioConfig:
+    """Scenario file (struct scenario_parameters, include/crts.hpp:31-56)."""
+
+    num_nodes: int = 1
+    run_time: float = 10.0
+    scenario_controller: str = "SC_Template"
+    sc_timeout_ms: float = 1000.0
+    sc_args: str = ""
+    nodes: list[NodeConfig] = dataclasses.field(default_factory=list)
+    # simulation extensions (no reference equivalent: these replace hardware)
+    medium_rate: float = 13e6
+    medium_center: float = 833e6
+    medium_block_len: int = 5120
+    medium_noise_power: float = 1e-6
+    seed: int = 0
+    name: str = "scenario"
+
+
+@dataclasses.dataclass
+class MasterConfig:
+    """Master file (read_master_parameters, src/crts.cpp:98-173)."""
+
+    scenarios: list[tuple[str, int]] = dataclasses.field(default_factory=list)
+    octave_log_summary: bool = False
+
+
+# ----------------------------------------------------------------------
+# libconfig-style parser (subset: scalars, strings, groups)
+# ----------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""
+    \s*(?:
+      (?P<comment>//[^\n]*|\#[^\n]*|/\*.*?\*/)
+    | (?P<lbrace>\{) | (?P<rbrace>\}) | (?P<semi>;) | (?P<assign>[:=])
+    | (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<number>[-+]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][-+]?\d+)?)
+    | (?P<bool>true|false)
+    | (?P<name>[A-Za-z_][A-Za-z0-9_.-]*)
+    )""",
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def parse_cfg(text: str) -> dict[str, Any]:
+    """Parse libconfig-subset text into nested dicts."""
+    tokens = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m:
+            if text[pos:].strip() == "":
+                break  # trailing whitespace
+            raise ValueError(f"cfg parse error at: {text[pos:pos+40]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "comment" or kind is None:
+            continue
+        tokens.append((kind, m.group(kind)))
+
+    def parse_group(i: int) -> tuple[dict, int]:
+        out: dict[str, Any] = {}
+        while i < len(tokens):
+            kind, val = tokens[i]
+            if kind == "rbrace":
+                return out, i + 1
+            if kind != "name":
+                i += 1
+                continue
+            key = val
+            i += 1
+            if i < len(tokens) and tokens[i][0] == "assign":
+                i += 1
+            if i >= len(tokens):
+                break
+            kind2, val2 = tokens[i]
+            if kind2 == "lbrace":
+                sub, i = parse_group(i + 1)
+                out[key] = sub
+            elif kind2 == "string":
+                out[key] = val2[1:-1]
+                i += 1
+            elif kind2 == "number":
+                f = float(val2)
+                out[key] = int(f) if f.is_integer() and "." not in val2 and "e" not in val2.lower() else f
+                i += 1
+            elif kind2 == "bool":
+                out[key] = val2 == "true"
+                i += 1
+            else:
+                i += 1
+            if i < len(tokens) and tokens[i][0] == "semi":
+                i += 1
+        return out, i
+
+    out, _ = parse_group(0)
+    return out
+
+
+_NODE_KEY_ALIASES = {
+    "generate_octave_log_file": "generate_octave_logs",
+    "CE": "cognitive_engine",
+}
+
+
+def _node_from_dict(d: dict[str, Any]) -> NodeConfig:
+    node = NodeConfig()
+    for k, v in d.items():
+        k = _NODE_KEY_ALIASES.get(k, k)
+        if hasattr(node, k):
+            cur = getattr(node, k)
+            if isinstance(cur, bool):
+                v = bool(v)
+            elif isinstance(cur, float) and not isinstance(v, str):
+                v = float(v)
+            setattr(node, k, v)
+    return node
+
+
+def scenario_from_dict(d: dict[str, Any], name: str = "scenario") -> ScenarioConfig:
+    sc = ScenarioConfig(name=name)
+    for k in (
+        "num_nodes",
+        "run_time",
+        "sc_timeout_ms",
+        "sc_args",
+        "medium_rate",
+        "medium_center",
+        "medium_block_len",
+        "medium_noise_power",
+        "seed",
+    ):
+        if k in d:
+            setattr(sc, k, d[k])
+    if "scenario_controller" in d:
+        sc.scenario_controller = d["scenario_controller"]
+    elif "SC" in d:
+        sc.scenario_controller = d["SC"]
+    n = int(d.get("num_nodes", 0))
+    for i in range(1, max(n, 1) + 1):
+        key = f"node{i}"
+        if key in d:
+            sc.nodes.append(_node_from_dict(d[key]))
+    sc.num_nodes = len(sc.nodes) or int(d.get("num_nodes", 1))
+    return sc
+
+
+def load_scenario(path: str | Path) -> ScenarioConfig:
+    p = Path(path)
+    return scenario_from_dict(parse_cfg(p.read_text()), name=p.stem)
+
+
+def load_master(path: str | Path) -> MasterConfig:
+    """Master format (scenario_master_template.cfg): num_scenarios,
+    reps_all_scenarios, scenario_N blocks with name + reps."""
+    d = parse_cfg(Path(path).read_text())
+    m = MasterConfig(octave_log_summary=bool(d.get("octave_log_summary", False)))
+    n = int(d.get("num_scenarios", 0))
+    default_reps = int(d.get("reps_all_scenarios", 1))
+    for i in range(1, n + 1):
+        blk = d.get(f"scenario_{i}", {})
+        if isinstance(blk, dict) and "name" in blk:
+            m.scenarios.append((blk["name"], int(blk.get("reps", default_reps))))
+    return m

@@ -1,0 +1,334 @@
+"""Scenario orchestration — port of ``crts_controller``.
+
+The reference controller SSH-launches node processes and speaks raw-struct
+TCP (src/crts_controller.cpp:166-602).  Here a scenario is an in-process
+simulation: the runtime builds nodes + medium from the typed config, steps
+the world in medium blocks, applies SC control messages, performs the node
+side's delta-based feedback detection (src/crts_cognitive_radio.cpp:208-383),
+and writes the end-of-run summary (log_scenario_summary,
+src/crts_controller.cpp:115-142).  ``run_master`` drives the
+master -> scenario -> repetition loop (:300-599).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from cognitive_radio_network_tpu.env.interference import InterfererConfig
+from cognitive_radio_network_tpu.runtime.config import (
+    MasterConfig,
+    NodeConfig,
+    ScenarioConfig,
+)
+from cognitive_radio_network_tpu.runtime.engine import create_controller
+from cognitive_radio_network_tpu.runtime.logging import LogSink
+from cognitive_radio_network_tpu.runtime.medium import Medium, MediumConfig
+from cognitive_radio_network_tpu.runtime.node import InterfererNode, RadioNode
+from cognitive_radio_network_tpu.runtime.scenario import CrtsParam, Feedback
+from cognitive_radio_network_tpu.runtime.traffic import TrafficConfig
+from cognitive_radio_network_tpu.phy import subcarriers as sc_mod
+
+__all__ = ["ScenarioRuntime", "ScenarioSummary", "run_master"]
+
+
+@dataclasses.dataclass
+class ScenarioSummary:
+    """Per-node results (the controller's octave summary matrix,
+    src/crts_controller.cpp:115-142)."""
+
+    scenario: str
+    rep: int
+    bytes_sent: list[int]
+    bytes_received: list[int]
+    frames_received: list[int]
+    valid_frames: list[int]
+
+
+def _alloc_for(node: NodeConfig, side: str):
+    method = getattr(node, f"{side}_subcarrier_alloc_method")
+    m = getattr(node, f"{side}_subcarriers")
+    if method == "standard":
+        return tuple(
+            sc_mod.standard_alloc(
+                m,
+                getattr(node, f"{side}_guard_subcarriers"),
+                getattr(node, f"{side}_central_nulls"),
+                getattr(node, f"{side}_pilot_freq"),
+            )
+        )
+    return None  # liquid-style default
+
+
+class ScenarioRuntime:
+    def __init__(self, cfg: ScenarioConfig, log_sink: LogSink | None = None):
+        self.cfg = cfg
+        self.log = log_sink or LogSink()
+        mcfg = MediumConfig(
+            sample_rate_hz=cfg.medium_rate,
+            center_hz=cfg.medium_center,
+            block_len=cfg.medium_block_len,
+            noise_power=cfg.medium_noise_power,
+            seed=cfg.seed,
+        )
+        self.medium_cfg = mcfg
+        self.nodes: list[Any] = []
+        for i, nc in enumerate(cfg.nodes):
+            if nc.node_type == "interferer":
+                icfg = InterfererConfig(
+                    interference_type=nc.interference_type,
+                    period_s=nc.period,
+                    duty_cycle=nc.duty_cycle,
+                    tx_rate_hz=nc.tx_rate,
+                    tx_gain_soft_db=nc.tx_gain_soft,
+                    tx_freq_behavior=nc.tx_freq_behavior,
+                    tx_freq_hz=nc.tx_freq,
+                    tx_freq_min_hz=nc.tx_freq_min,
+                    tx_freq_max_hz=nc.tx_freq_max,
+                    tx_freq_dwell_s=nc.tx_freq_dwell_time,
+                    tx_freq_resolution_hz=nc.tx_freq_resolution,
+                )
+                self.nodes.append(
+                    InterfererNode(
+                        i, mcfg.sample_rate_hz, mcfg.center_hz, icfg, self.log, seed=i
+                    )
+                )
+            else:
+                node = RadioNode(
+                    i,
+                    mcfg.sample_rate_hz,
+                    mcfg.center_hz,
+                    engine_name=nc.cognitive_engine,
+                    ce_args=nc.ce_args.split() if nc.ce_args else [],
+                    ce_timeout_ms=nc.ce_timeout_ms,
+                    traffic=TrafficConfig(
+                        traffic_type=nc.net_traffic_type,
+                        mean_throughput_bps=nc.net_mean_throughput,
+                        burst_length=nc.net_burst_length,
+                    ),
+                    log_sink=self.log,
+                )
+                r = node.radio
+                r.set_tx_freq(nc.tx_freq)
+                r.set_tx_rate(nc.tx_rate)
+                r.set_tx_gain(nc.tx_gain - 20.0)  # UHD dB ref: 20 dB ~ unit gain
+                r.set_tx_gain_soft(nc.tx_gain_soft)
+                r.set_tx_modulation(nc.tx_modulation)
+                r.set_tx_crc(nc.tx_crc)
+                r.set_tx_fec0(nc.tx_fec0)
+                r.set_tx_fec1(nc.tx_fec1)
+                r.set_tx_subcarriers(nc.tx_subcarriers)
+                r.set_tx_cp_len(nc.tx_cp_len)
+                r.set_tx_taper_len(nc.tx_taper_len)
+                r.set_tx_subcarrier_alloc(_alloc_for(nc, "tx"))
+                r.set_rx_freq(nc.rx_freq)
+                r.set_rx_rate(nc.rx_rate)
+                r.set_rx_gain(nc.rx_gain - 20.0)
+                r.set_rx_subcarriers(nc.rx_subcarriers)
+                r.set_rx_cp_len(nc.rx_cp_len)
+                r.set_rx_taper_len(nc.rx_taper_len)
+                r.set_rx_subcarrier_alloc(_alloc_for(nc, "rx"))
+                self.nodes.append(node)
+        self.medium = Medium(mcfg, len(self.nodes))
+        self.sc = create_controller(
+            cfg.scenario_controller, cfg.sc_args.split() if cfg.sc_args else []
+        )
+        self.sc.runtime = self
+        self.sc.sc_timeout_ms = cfg.sc_timeout_ms
+        self.t = 0.0
+        self._last_fb: dict[tuple[int, CrtsParam], Any] = {}
+        self._last_sc_t = 0.0
+        self._last_stats_fb_t: dict[int, float] = {}
+
+    # -- control channel (set_node_parameter -> apply_control_msg,
+    #    src/crts_cognitive_radio.cpp:127-206) --
+
+    def apply_control(self, node_idx: int, param: CrtsParam, value) -> None:
+        node = self.nodes[node_idx]
+        if isinstance(node, InterfererNode):
+            c = node.cfg
+            mapping = {
+                CrtsParam.TX_STATE: lambda v: setattr(node, "tx_state", int(v)),
+                CrtsParam.TX_FREQ: lambda v: node.set_tx_freq(v),
+                CrtsParam.TX_DUTY_CYCLE: lambda v: _replace(node, duty_cycle=float(v)),
+                CrtsParam.TX_PERIOD: lambda v: _replace(node, period_s=float(v)),
+                CrtsParam.TX_FREQ_BEHAVIOR: lambda v: _replace(
+                    node, tx_freq_behavior=str(v)
+                ),
+                CrtsParam.TX_FREQ_MIN: lambda v: _replace(node, tx_freq_min_hz=float(v)),
+                CrtsParam.TX_FREQ_MAX: lambda v: _replace(node, tx_freq_max_hz=float(v)),
+                CrtsParam.TX_FREQ_DWELL_TIME: lambda v: _replace(
+                    node, tx_freq_dwell_s=float(v)
+                ),
+                CrtsParam.TX_FREQ_RES: lambda v: _replace(
+                    node, tx_freq_resolution_hz=float(v)
+                ),
+            }
+        else:
+            r = node.radio
+            mapping = {
+                CrtsParam.TX_STATE: lambda v: r.start_tx() if v else r.stop_tx(),
+                CrtsParam.TX_FREQ: r.set_tx_freq,
+                CrtsParam.TX_RATE: r.set_tx_rate,
+                CrtsParam.TX_GAIN: r.set_tx_gain,
+                CrtsParam.TX_MOD: r.set_tx_modulation,
+                CrtsParam.TX_CRC: r.set_tx_crc,
+                CrtsParam.TX_FEC0: r.set_tx_fec0,
+                CrtsParam.TX_FEC1: r.set_tx_fec1,
+                CrtsParam.RX_STATE: lambda v: r.start_rx() if v else r.stop_rx(),
+                CrtsParam.RX_FREQ: r.set_rx_freq,
+                CrtsParam.RX_RATE: r.set_rx_rate,
+                CrtsParam.RX_GAIN: r.set_rx_gain,
+                CrtsParam.RX_STATS_RESET: lambda v: r.reset_rx_stats(),
+                CrtsParam.RX_STATS_FB: lambda v: setattr(
+                    r, "rx_stat_fb_period_s", float(v)
+                ),
+                # PACKET_LEN * 8 bits per packet / target bps
+                CrtsParam.NET_THROUGHPUT: lambda v: setattr(
+                    node.traffic, "mean_interval", 2048.0 / float(v)
+                ),
+                CrtsParam.FB_EN: lambda v: self.sc.enable_feedback(node_idx, int(v)),
+            }
+        fn = mapping.get(param)
+        if fn is None:
+            raise KeyError(f"unsupported control param {param} for node {node_idx}")
+        fn(value)
+
+    # -- feedback (delta detection, src/crts_cognitive_radio.cpp:208-383) --
+
+    _FB_GETTERS = {
+        CrtsParam.TX_STATE: lambda r: r.get_tx_state(),
+        CrtsParam.TX_FREQ: lambda r: r.get_tx_freq(),
+        CrtsParam.TX_RATE: lambda r: r.get_tx_rate(),
+        CrtsParam.TX_GAIN: lambda r: r.get_tx_gain(),
+        CrtsParam.TX_MOD: lambda r: r.get_tx_modulation(),
+        CrtsParam.TX_CRC: lambda r: r.get_tx_crc(),
+        CrtsParam.TX_FEC0: lambda r: r.get_tx_fec0(),
+        CrtsParam.TX_FEC1: lambda r: r.get_tx_fec1(),
+        CrtsParam.RX_STATE: lambda r: int(r.rx_running),
+        CrtsParam.RX_FREQ: lambda r: r.get_rx_freq(),
+        CrtsParam.RX_RATE: lambda r: r.get_rx_rate(),
+        CrtsParam.RX_GAIN: lambda r: r.get_rx_gain(),
+    }
+
+    def _collect_feedback(self) -> None:
+        for i, node in enumerate(self.nodes):
+            if isinstance(node, InterfererNode):
+                continue
+            mask = self.sc.get_feedback_enables(i)
+            if not mask:
+                continue
+            for param, getter in self._FB_GETTERS.items():
+                if not (mask >> param.value) & 1:
+                    continue
+                val = getter(node.radio)
+                key = (i, param)
+                if self._last_fb.get(key) != val:
+                    self._last_fb[key] = val
+                    self.sc.receive_feedback(Feedback(i, param, val, self.t))
+            # periodic rx statistics feedback
+            if (mask >> CrtsParam.RX_STATS.value) & 1:
+                period = node.radio.rx_stat_fb_period_s or 1.0
+                last = self._last_stats_fb_t.get(i, -1e9)
+                if self.t - last >= period:
+                    self._last_stats_fb_t[i] = self.t
+                    self.sc.receive_feedback(
+                        Feedback(
+                            i,
+                            CrtsParam.RX_STATS,
+                            node.radio.get_rx_stats(self.t),
+                            self.t,
+                        )
+                    )
+
+    # -- main loop --
+
+    def start(self) -> None:
+        for n in self.nodes:
+            n.start()
+        self.sc.initialize_node_fb()
+
+    def step(self) -> None:
+        n = self.medium_cfg.block_len
+        dt = self.medium_cfg.block_dt
+        for node in self.nodes:
+            node.poll_traffic(self.t)
+        contributions = [node.pull_tx_block(n) for node in self.nodes]
+        blocks = self.medium.propagate(contributions)
+        for node, block in zip(self.nodes, blocks):
+            node.push_rx_block(block, self.t)
+            node.run_ce(self.t)
+            node.drain_rx_packets(self.t)
+        self._collect_feedback()
+        if (self.t - self._last_sc_t) * 1e3 >= self.sc.sc_timeout_ms:
+            self.sc.timeout()
+            self._last_sc_t = self.t
+        self.t += dt
+
+    def run(self, rep: int = 1) -> ScenarioSummary:
+        self.start()
+        while self.t < self.cfg.run_time:
+            self.step()
+        bytes_sent, bytes_rcvd, frames, valid = [], [], [], []
+        for node in self.nodes:
+            if isinstance(node, InterfererNode):
+                bytes_sent.append(0)
+                bytes_rcvd.append(0)
+                frames.append(0)
+                valid.append(0)
+            else:
+                sent = node.traffic.packet_num * 256
+                rcvd = sum(len(p) for (_, _, p) in node.rx_packets)
+                st = node.radio.stats
+                bytes_sent.append(sent)
+                bytes_rcvd.append(rcvd)
+                frames.append(len(st.records))
+                valid.append(sum(1 for r in st.records if r.valid))
+        return ScenarioSummary(
+            self.cfg.name, rep, bytes_sent, bytes_rcvd, frames, valid
+        )
+
+
+def _replace(node: InterfererNode, **kw) -> None:
+    node.cfg = dataclasses.replace(node.cfg, **kw)
+
+
+def run_master(
+    master: MasterConfig,
+    scenario_loader,
+    log_dir: str | Path | None = None,
+) -> list[ScenarioSummary]:
+    """Master -> scenario -> rep loop (src/crts_controller.cpp:300-599).
+
+    ``scenario_loader(name)`` -> ScenarioConfig (file- or registry-based).
+    """
+    summaries = []
+    for name, reps in master.scenarios:
+        for rep in range(1, reps + 1):
+            cfg = scenario_loader(name)
+            sink = LogSink()
+            rt = ScenarioRuntime(cfg, sink)
+            summary = rt.run(rep)
+            summaries.append(summary)
+            if log_dir is not None:
+                base = Path(log_dir)
+                sink.save_npz(base / f"{name}_rep{rep}.npz")
+                if master.octave_log_summary:
+                    sink.export_octave(base / "octave" / f"{name}_rep{rep}.m")
+    if log_dir is not None and master.octave_log_summary:
+        _write_octave_summary(Path(log_dir) / "octave" / "summary.m", summaries)
+    return summaries
+
+
+def _write_octave_summary(path: Path, summaries: list[ScenarioSummary]) -> None:
+    """The controller's bytes_sent/received matrix (crts_controller.cpp:115-142)."""
+    path.parent.mkdir(parents=True, exist_ok=True)
+    lines = []
+    for s in summaries:
+        tag = f"{s.scenario}_rep{s.rep}"
+        lines.append(f"bytes_sent_{tag} = {list(s.bytes_sent)};")
+        lines.append(f"bytes_received_{tag} = {list(s.bytes_received)};")
+    path.write_text("\n".join(lines) + "\n")

@@ -1,0 +1,198 @@
+"""Node runtimes: cognitive-radio node and interferer node.
+
+Port of the two node processes (src/crts_cognitive_radio.cpp:507-968,
+src/crts_interferer.cpp:314-420) as block-stepped simulation actors: the
+radio node couples a :class:`Radio` to a traffic source and a cognitive
+engine (event loop semantics of ECR_ce_worker,
+src/extensible_cognitive_radio.cpp:1761-1808); the interferer node drives the
+waveform builders of :mod:`..env.interference` with duty-cycle and
+frequency-hop state machines (src/interferer.cpp:360-452).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from cognitive_radio_network_tpu.env.interference import (
+    InterfererConfig,
+    synthesize_interference,
+)
+from cognitive_radio_network_tpu.runtime.engine import (
+    CEEvent,
+    CEMetrics,
+    create_engine,
+)
+from cognitive_radio_network_tpu.runtime.radio import Radio
+from cognitive_radio_network_tpu.runtime.traffic import TrafficConfig, TrafficSource
+
+__all__ = ["RadioNode", "InterfererNode"]
+
+
+class RadioNode:
+    """Cognitive-radio node: radio + traffic + engine event loop."""
+
+    def __init__(
+        self,
+        node_id: int,
+        medium_rate: float,
+        medium_center: float,
+        engine_name: str = "CE_Template",
+        ce_args: list[str] | None = None,
+        ce_timeout_ms: float = 1000.0,
+        traffic: TrafficConfig | None = None,
+        log_sink=None,
+    ):
+        self.node_id = node_id
+        self.radio = Radio(medium_rate, medium_center, node_id, log_sink)
+        self.radio.set_ce_timeout_ms(ce_timeout_ms)
+        self.engine = create_engine(engine_name, self.radio, ce_args)
+        self.traffic = TrafficSource(traffic or TrafficConfig(), seed=node_id)
+        self.log_sink = log_sink
+        self._last_ce_t = 0.0
+        self.rx_packets: list[tuple[float, int, np.ndarray]] = []
+        self.started = False
+
+    def start(self) -> None:
+        self.radio.start_rx()
+        self.radio.start_tx()
+        self.radio.start_ce()
+        self.started = True
+
+    # -- block-step API (called by the scenario runtime) --
+
+    def poll_traffic(self, t: float) -> None:
+        if not self.started or self.radio.tx_state == 0:
+            # reference: traffic still accumulates in the kernel socket; we
+            # model only the in-flight queue, so skip generation when stopped
+            self.traffic._next_t = max(self.traffic._next_t, t)
+            return
+        for ts, pkt in self.traffic.packets_until(t):
+            self.radio.enqueue_packet(pkt)
+            if self.log_sink is not None:
+                self.log_sink.log_net_tx(self.node_id, ts, pkt)
+
+    def pull_tx_block(self, n: int) -> Optional[np.ndarray]:
+        if not self.started:
+            return None
+        return self.radio.pull_tx_block(n)
+
+    def push_rx_block(self, block: np.ndarray, t: float) -> None:
+        if self.started:
+            self.radio.push_rx_block(block, t)
+
+    def run_ce(self, t: float) -> None:
+        """Drain radio events into engine executions + timeout semantics
+        (pthread_cond_timedwait loop of ECR_ce_worker)."""
+        if not (self.started and self.radio.ce_running):
+            return
+        events = self.radio.drain_events()
+        for ev in events:
+            self.radio.CE_metrics = ev
+            self.engine.execute()
+            self._last_ce_t = t
+        timeout_s = self.radio.ce_timeout_ms / 1e3
+        if not events and (t - self._last_ce_t) >= timeout_s:
+            self.radio.CE_metrics = CEMetrics(ce_event=CEEvent.TIMEOUT, time_s=t)
+            self.engine.execute()
+            self._last_ce_t = t
+
+    def drain_rx_packets(self, t: float) -> None:
+        while self.radio.rx_packet_sink:
+            num, payload = self.radio.rx_packet_sink.popleft()
+            self.rx_packets.append((t, num, payload))
+            if self.log_sink is not None:
+                self.log_sink.log_net_rx(self.node_id, t, payload)
+
+
+class InterfererNode:
+    """Interferer: waveform builder + duty cycle + frequency hopping."""
+
+    def __init__(
+        self,
+        node_id: int,
+        medium_rate: float,
+        medium_center: float,
+        cfg: InterfererConfig,
+        log_sink=None,
+        seed: int = 0,
+    ):
+        self.node_id = node_id
+        self.cfg = cfg
+        self.medium_rate = medium_rate
+        self.medium_center = medium_center
+        self.log_sink = log_sink
+        self.tx_freq = cfg.tx_freq_hz
+        self._sweep_coeff = 1.0
+        self._dwell_t = 0.0
+        self._cursor = 0
+        self._key = jax.random.key(seed)
+        self.started = False
+        self.tx_state = 1
+        self._rng = np.random.default_rng(seed)
+
+    def start(self) -> None:
+        self.started = True
+
+    # control-parameter application (apply_control_msg equivalents,
+    # src/crts_interferer.cpp:314-420)
+    def set_tx_freq(self, f: float) -> None:
+        self.tx_freq = float(f)
+
+    def update_frequency(self) -> None:
+        """src/interferer.cpp:334-355."""
+        c = self.cfg
+        if c.tx_freq_behavior == "sweep":
+            self.tx_freq += c.tx_freq_resolution_hz * self._sweep_coeff
+            if self.tx_freq > c.tx_freq_max_hz or self.tx_freq < c.tx_freq_min_hz:
+                self._sweep_coeff *= -1.0
+                self.tx_freq += 2.0 * c.tx_freq_resolution_hz * self._sweep_coeff
+        elif c.tx_freq_behavior == "random":
+            bw = c.tx_freq_max_hz - c.tx_freq_min_hz
+            draw = self._rng.uniform(0, bw)
+            self.tx_freq = (
+                c.tx_freq_resolution_hz * round(draw / c.tx_freq_resolution_hz)
+                + c.tx_freq_min_hz
+            )
+
+    def poll_traffic(self, t: float) -> None:  # interferers carry no traffic
+        pass
+
+    def push_rx_block(self, block, t) -> None:  # and do not receive
+        pass
+
+    def run_ce(self, t: float) -> None:
+        pass
+
+    def drain_rx_packets(self, t: float) -> None:
+        pass
+
+    def pull_tx_block(self, n: int) -> Optional[np.ndarray]:
+        if not self.started or not self.tx_state:
+            self._cursor += n
+            return None
+        c = self.cfg
+        t0 = self._cursor / self.medium_rate
+        # frequency dwell
+        if c.tx_freq_behavior != "fixed" and t0 - self._dwell_t >= c.tx_freq_dwell_s:
+            self.update_frequency()
+            self._dwell_t = t0
+            if self.log_sink is not None:
+                self.log_sink.log_int_tx(self.node_id, t0, self.tx_freq)
+        # duty cycle gate over the block
+        period = max(c.period_s, 1e-9)
+        idx = (self._cursor + np.arange(n)) / self.medium_rate
+        gate = ((idx % period) < c.duty_cycle * period).astype(np.float32)
+        if not gate.any():
+            self._cursor += n
+            return None
+        self._key, sub = jax.random.split(self._key)
+        wf = np.asarray(synthesize_interference(sub, c, n))
+        off = (self.tx_freq - self.medium_center) / self.medium_rate
+        t_idx = self._cursor + np.arange(n)
+        out = (wf * gate * np.exp(2j * np.pi * off * t_idx)).astype(np.complex64)
+        self._cursor += n
+        return out

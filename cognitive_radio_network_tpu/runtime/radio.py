@@ -1,0 +1,452 @@
+"""The radio runtime — port of ``ExtensibleCognitiveRadio`` (ECR).
+
+Where the reference runs three pthreads against two USRP handles
+(src/extensible_cognitive_radio.cpp:46-260), this Radio is a synchronous
+block-stepped state machine driven by the node runtime: the simulation medium
+hands it receive blocks and pulls transmit blocks; engines execute on events
+between blocks.  The public parameter API mirrors the ECR's ~80
+setters/getters (include/extensible_cognitive_radio.hpp:52-985), including
+the double-buffered "params updated, applied at the worker loop" semantics
+(update_tx_params src/extensible_cognitive_radio.cpp:829-881): setter calls
+mark the config dirty and the tx/rx chains are rebuilt at the next block
+boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Callable, Optional
+
+import numpy as np
+
+from cognitive_radio_network_tpu.env.channel import soft_gain
+from cognitive_radio_network_tpu.phy.framegen import OFDMFrameConfig, OFDMFrameGen
+from cognitive_radio_network_tpu.phy.framesync import StreamReceiver
+from cognitive_radio_network_tpu.runtime.engine import CEEvent, CEMetrics, FrameType
+from cognitive_radio_network_tpu.runtime.stats import RxStatistics
+from cognitive_radio_network_tpu.signal.resample import resample_poly
+
+__all__ = ["RadioParams", "Radio", "TX_STOPPED", "TX_CONTINUOUS"]
+
+TX_STOPPED = 0
+TX_CONTINUOUS = 1
+
+
+@dataclasses.dataclass
+class RadioParams:
+    """tx/rx parameter struct mirroring ECR defaults
+    (src/extensible_cognitive_radio.cpp:52-78, :100-104)."""
+
+    tx_freq: float = 460.0e6
+    tx_rate: float = 1e6
+    tx_gain: float = 0.0  # UHD gain [dB]
+    tx_gain_soft: float = -12.0
+    tx_subcarriers: int = 32
+    tx_cp_len: int = 16
+    tx_taper_len: int = 4
+    tx_modulation: str = "qam4"
+    tx_crc: str = "crc32"
+    tx_fec0: str = "h128"
+    tx_fec1: str = "none"
+    tx_subcarrier_alloc: Optional[tuple] = None
+    payload_len: int = 256
+
+    rx_freq: float = 460.0e6
+    rx_rate: float = 500e3
+    rx_gain: float = 0.0
+    rx_subcarriers: int = 32
+    rx_cp_len: int = 16
+    rx_taper_len: int = 4
+    rx_subcarrier_alloc: Optional[tuple] = None
+
+
+class Radio:
+    def __init__(
+        self,
+        medium_rate: float,
+        medium_center: float,
+        node_id: int = 0,
+        log_sink=None,
+    ):
+        self.params = RadioParams()
+        self.medium_rate = medium_rate
+        self.medium_center = medium_center
+        self.node_id = node_id
+        self.log_sink = log_sink
+
+        # worker states (include/extensible_cognitive_radio.hpp:44-50)
+        self.tx_state = TX_STOPPED
+        self.rx_running = False
+        self.ce_running = False
+        self.ce_timeout_ms = 1000.0
+        self.ce_sensing = False
+        self.ce_usrp_rx_buffer_length = 512
+        self.CE_metrics = CEMetrics()
+
+        self.frame_num = 0
+        self.tx_header_control = np.zeros(6, np.uint8)  # control info bytes
+        self.stats = RxStatistics()
+        self.rx_stat_fb_period_s: float | None = None
+
+        self._tx_queue: deque[np.ndarray] = deque()
+        self._ctrl_queue: deque[np.ndarray] = deque()
+        self._tx_residual = np.zeros(0, np.complex64)
+        self._tx_sample_cursor = 0  # phase-continuous mixing
+        self._rx_sample_cursor = 0
+        self._rx_resid_sens = np.zeros(0, np.complex64)
+        self._gen: OFDMFrameGen | None = None
+        self._rx: StreamReceiver | None = None
+        self._tx_dirty = True
+        self._rx_dirty = True
+        self._events: list[CEMetrics] = []
+        self.rx_packet_sink: deque[tuple[int, np.ndarray]] = deque()  # the "TUN"
+        self.num_tx_frames = 0
+
+    # ------------------------------------------------------------------
+    # parameter API (ECR setter/getter surface)
+    # ------------------------------------------------------------------
+
+    def _set(self, name: str, value, side: str) -> None:
+        setattr(self.params, name, value)
+        if side == "tx":
+            self._tx_dirty = True
+        else:
+            self._rx_dirty = True
+
+    # tx
+    def set_tx_freq(self, f: float) -> None:
+        self._set("tx_freq", float(f), "tx")
+
+    def set_tx_rate(self, r: float) -> None:
+        self._set("tx_rate", float(r), "tx")
+
+    def set_tx_gain(self, g: float) -> None:
+        self._set("tx_gain", float(g), "tx")
+
+    def set_tx_gain_soft(self, g: float) -> None:
+        self._set("tx_gain_soft", float(g), "tx")
+
+    def set_tx_modulation(self, m: str) -> None:
+        self._set("tx_modulation", m, "tx")
+
+    def set_tx_crc(self, c: str) -> None:
+        self._set("tx_crc", c, "tx")
+
+    def set_tx_fec0(self, f: str) -> None:
+        self._set("tx_fec0", f, "tx")
+
+    def set_tx_fec1(self, f: str) -> None:
+        self._set("tx_fec1", f, "tx")
+
+    def set_tx_subcarriers(self, n: int) -> None:
+        self._set("tx_subcarriers", int(n), "tx")
+
+    def set_tx_subcarrier_alloc(self, alloc) -> None:
+        self._set("tx_subcarrier_alloc", None if alloc is None else tuple(alloc), "tx")
+
+    def set_tx_cp_len(self, n: int) -> None:
+        self._set("tx_cp_len", int(n), "tx")
+
+    def set_tx_taper_len(self, n: int) -> None:
+        self._set("tx_taper_len", int(n), "tx")
+
+    def set_tx_payload_sym_length(self, n: int) -> None:
+        self._set("payload_len", int(n), "tx")
+
+    def get_tx_freq(self) -> float:
+        return self.params.tx_freq
+
+    def get_tx_rate(self) -> float:
+        return self.params.tx_rate
+
+    def get_tx_gain(self) -> float:
+        return self.params.tx_gain
+
+    def get_tx_gain_soft(self) -> float:
+        return self.params.tx_gain_soft
+
+    def get_tx_modulation(self) -> str:
+        return self.params.tx_modulation
+
+    def get_tx_crc(self) -> str:
+        return self.params.tx_crc
+
+    def get_tx_fec0(self) -> str:
+        return self.params.tx_fec0
+
+    def get_tx_fec1(self) -> str:
+        return self.params.tx_fec1
+
+    def get_tx_state(self) -> int:
+        return self.tx_state
+
+    # rx
+    def set_rx_freq(self, f: float) -> None:
+        self._set("rx_freq", float(f), "rx")
+
+    def set_rx_rate(self, r: float) -> None:
+        self._set("rx_rate", float(r), "rx")
+
+    def set_rx_gain(self, g: float) -> None:
+        self._set("rx_gain", float(g), "rx")
+
+    def set_rx_subcarriers(self, n: int) -> None:
+        self._set("rx_subcarriers", int(n), "rx")
+
+    def set_rx_subcarrier_alloc(self, alloc) -> None:
+        self._set("rx_subcarrier_alloc", None if alloc is None else tuple(alloc), "rx")
+
+    def set_rx_cp_len(self, n: int) -> None:
+        self._set("rx_cp_len", int(n), "rx")
+
+    def set_rx_taper_len(self, n: int) -> None:
+        self._set("rx_taper_len", int(n), "rx")
+
+    def get_rx_freq(self) -> float:
+        return self.params.rx_freq
+
+    def get_rx_rate(self) -> float:
+        return self.params.rx_rate
+
+    def get_rx_gain(self) -> float:
+        return self.params.rx_gain
+
+    # worker control
+    def start_tx(self) -> None:
+        self.tx_state = TX_CONTINUOUS
+
+    def stop_tx(self) -> None:
+        self.tx_state = TX_STOPPED
+
+    def start_rx(self) -> None:
+        self.rx_running = True
+
+    def stop_rx(self) -> None:
+        self.rx_running = False
+
+    def start_ce(self) -> None:
+        self.ce_running = True
+
+    def stop_ce(self) -> None:
+        self.ce_running = False
+
+    def set_ce_timeout_ms(self, t: float) -> None:
+        self.ce_timeout_ms = float(t)
+
+    def set_ce_sensing(self, flag: int) -> None:
+        self.ce_sensing = bool(flag)
+
+    def set_ce_usrp_rx_buffer_length(self, n: int) -> None:
+        self.ce_usrp_rx_buffer_length = int(n)
+
+    def set_control_info(self, info: np.ndarray) -> None:
+        self.tx_header_control = np.asarray(info, np.uint8)[:6]
+
+    def reset_rx_stats(self) -> None:
+        self.stats.reset()
+
+    def get_rx_stats(self, now: float):
+        return self.stats.snapshot(now)
+
+    # ------------------------------------------------------------------
+    # data path
+    # ------------------------------------------------------------------
+
+    def enqueue_packet(self, payload: np.ndarray) -> None:
+        """Network-layer packet for transmission (the TUN write side)."""
+        self._tx_queue.append(np.asarray(payload, np.uint8))
+
+    def transmit_control_frame(self, payload: np.ndarray) -> None:
+        """CE-initiated control frame (include/extensible_cognitive_radio.hpp
+        transmit_control_frame); sent ahead of data packets."""
+        self._ctrl_queue.append(np.asarray(payload, np.uint8))
+
+    def _tx_cfg(self) -> OFDMFrameConfig:
+        p = self.params
+        return OFDMFrameConfig(
+            num_subcarriers=p.tx_subcarriers,
+            cp_len=p.tx_cp_len,
+            taper_len=p.tx_taper_len,
+            mod_scheme=p.tx_modulation,
+            crc_scheme=p.tx_crc,
+            fec0=p.tx_fec0,
+            fec1=p.tx_fec1,
+            subcarrier_alloc=p.tx_subcarrier_alloc,
+        )
+
+    def _rx_cfg(self) -> OFDMFrameConfig:
+        p = self.params
+        return OFDMFrameConfig(
+            num_subcarriers=p.rx_subcarriers,
+            cp_len=p.rx_cp_len,
+            taper_len=p.rx_taper_len,
+            subcarrier_alloc=p.rx_subcarrier_alloc,
+        )
+
+    def _apply_tx_params(self) -> None:
+        # recreate framegen iff config changed (recreate_fg semantics)
+        self._gens = getattr(self, "_gens", {})
+        self._tx_dirty = False
+
+    def _get_gen(self, payload_len: int) -> OFDMFrameGen:
+        self._gens = getattr(self, "_gens", {})
+        key = (self._tx_cfg(), payload_len)
+        if key not in self._gens:
+            self._gens[key] = OFDMFrameGen(key[0], payload_len)
+        return self._gens[key]
+
+    def _make_frame_samples(self, frame_type: int, payload: np.ndarray) -> np.ndarray:
+        """One frame at medium rate/offset with gains applied (the
+        transmit_frame path, src/extensible_cognitive_radio.cpp:883-949)."""
+        gen = self._get_gen(len(payload))
+        header = np.zeros(8, np.uint8)
+        header[0] = ((self.frame_num >> 8) & 0x3F) | (frame_type << 6)
+        header[1] = self.frame_num & 0xFF
+        header[2:8] = self.tx_header_control
+        self.frame_num += 1
+        iq = np.asarray(gen.assemble(header[None], payload[None]))[0]
+        g = float(soft_gain(self.params.tx_gain_soft)) * float(
+            soft_gain(self.params.tx_gain)
+        )
+        iq = (g * iq).astype(np.complex64)
+        # resample tx_rate -> medium rate
+        up, down = _rate_ratio(self.medium_rate, self.params.tx_rate)
+        if (up, down) != (1, 1):
+            iq = resample_poly(iq, up, down).astype(np.complex64)
+        if self.log_sink is not None:
+            self.log_sink.log_phy_tx(
+                self.node_id, self.frame_num - 1, dataclasses.asdict(self.params)
+            )
+        return iq
+
+    def pull_tx_block(self, n: int) -> np.ndarray | None:
+        """Medium-facing: produce this node's next n transmit samples at the
+        medium rate (None = silent)."""
+        if self._tx_dirty:
+            self._apply_tx_params()
+        out = np.zeros(n, np.complex64)
+        filled = 0
+        emitted = False
+        # drain residual first
+        if len(self._tx_residual):
+            k = min(n, len(self._tx_residual))
+            out[:k] = self._tx_residual[:k]
+            self._tx_residual = self._tx_residual[k:]
+            filled = k
+            emitted = True
+        while filled < n:
+            if self._ctrl_queue:
+                frame_type, payload = FrameType.CONTROL, self._ctrl_queue.popleft()
+            elif self.tx_state == TX_CONTINUOUS and self._tx_queue:
+                frame_type, payload = FrameType.DATA, self._tx_queue.popleft()
+            else:
+                break
+            samples = self._make_frame_samples(frame_type, payload)
+            self.num_tx_frames += 1
+            k = min(n - filled, len(samples))
+            out[filled : filled + k] = samples[:k]
+            self._tx_residual = np.concatenate([self._tx_residual, samples[k:]])
+            filled += k
+            emitted = True
+            if not self._tx_queue and not self._ctrl_queue and not len(self._tx_residual):
+                self._push_event(CEEvent.TX_COMPLETE)
+        if not emitted:
+            self._tx_sample_cursor += n
+            return None
+        # mix to the tx center offset, phase-continuous across blocks
+        off = (self.params.tx_freq - self.medium_center) / self.medium_rate
+        t = self._tx_sample_cursor + np.arange(n)
+        out = out * np.exp(2j * np.pi * off * t).astype(np.complex64)
+        self._tx_sample_cursor += n
+        return out
+
+    # -- rx --
+
+    def _apply_rx_params(self) -> None:
+        self._rx = StreamReceiver(self._rx_cfg())
+        self._rx_dirty = False
+        self._rx_resid_sens = np.zeros(0, np.complex64)
+
+    def push_rx_block(self, block: np.ndarray, t: float) -> None:
+        """Medium-facing: deliver a received block (medium rate) at sim time t."""
+        if not self.rx_running and not self.ce_sensing:
+            return
+        if self._rx_dirty or self._rx is None:
+            self._apply_rx_params()
+        # mix down from the rx center offset and decimate to rx_rate
+        off = (self.params.rx_freq - self.medium_center) / self.medium_rate
+        n = len(block)
+        t_idx = self._rx_sample_cursor + np.arange(n)
+        base = block * np.exp(-2j * np.pi * off * t_idx).astype(np.complex64)
+        self._rx_sample_cursor += n
+        up, down = _rate_ratio(self.params.rx_rate, self.medium_rate)
+        if (up, down) != (1, 1):
+            base = resample_poly(base, up, down).astype(np.complex64)
+
+        # sensing tap (src/extensible_cognitive_radio.cpp:1310-1324): forward
+        # raw samples to the CE in fixed-size buffers
+        if self.ce_sensing:
+            buf = np.concatenate([self._rx_resid_sens, base])
+            blen = self.ce_usrp_rx_buffer_length
+            k = len(buf) // blen
+            for i in range(k):
+                chunk = buf[i * blen : (i + 1) * blen]
+                ev = CEMetrics(ce_event=CEEvent.USRP_RX_SAMPS, time_s=t)
+                ev.payload = chunk  # ce_usrp_rx_buffer
+                self._events.append(ev)
+            self._rx_resid_sens = buf[k * blen :]
+
+        if not self.rx_running:
+            return
+        for f in self._rx.process(base):
+            s = f["stats"]
+            hdr = f["header"]
+            frame_type = (int(hdr[0]) >> 6) & 0x3
+            frame_n = ((int(hdr[0]) & 0x3F) << 8) | int(hdr[1])
+            m = CEMetrics(
+                ce_event=CEEvent.PHY_FRAME_RECEIVED,
+                frame_type=frame_type,
+                frame_num=frame_n,
+                control_info=np.asarray(hdr[2:8], np.uint8),
+                header=hdr,
+                header_valid=s.header_valid,
+                payload=f["payload"],
+                payload_valid=s.payload_valid,
+                stats=s,
+                time_s=t,
+            )
+            self._events.append(m)
+            self.stats.record_frame(
+                t, s.payload_valid, s.evm, s.rssi, f["payload"]
+            )
+            if self.log_sink is not None:
+                self.log_sink.log_phy_rx(self.node_id, m)
+            if frame_type == FrameType.DATA and s.payload_valid:
+                # the TUN write (src/extensible_cognitive_radio.cpp:1441-1450)
+                self.rx_packet_sink.append((frame_n, f["payload"]))
+
+    def _push_event(self, event: CEEvent, t: float = 0.0) -> None:
+        self._events.append(CEMetrics(ce_event=event, time_s=t))
+
+    def notify_overflow(self, t: float) -> None:
+        """UHD overflow surfaced as a CE event (uhd_msg_handler path,
+        src/extensible_cognitive_radio.cpp:1326-1347)."""
+        self.stats.record_overflow()
+        self._push_event(CEEvent.UHD_OVERFLOW, t)
+
+    def notify_underrun(self, t: float) -> None:
+        self._push_event(CEEvent.UHD_UNDERRUN, t)
+
+    def drain_events(self) -> list[CEMetrics]:
+        ev, self._events = self._events, []
+        return ev
+
+
+def _rate_ratio(target: float, source: float) -> tuple[int, int]:
+    """Integer up/down for source -> target rate (rates assumed rational
+    multiples, as all config rates are)."""
+    from fractions import Fraction
+
+    fr = Fraction(target / source).limit_denominator(64)
+    return fr.numerator, fr.denominator

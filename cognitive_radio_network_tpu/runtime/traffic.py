@@ -1,0 +1,79 @@
+"""Network traffic generators: stream / burst / poisson.
+
+Port of the UDP traffic loop of src/crts_cognitive_radio.cpp:826-879: packets
+of CRTS_CR_PACKET_LEN=256 bytes whose payload is the degree-12 m-sequence
+with a masked 4-byte packet number up front (:750-764, include/crts.hpp:192-194),
+paced to a mean throughput with three inter-arrival models
+(enum net_traffic_type, include/crts.hpp:72-77).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from cognitive_radio_network_tpu.signal.msequence import msequence_bytes
+
+__all__ = ["TrafficConfig", "TrafficSource", "PACKET_LEN", "PACKET_NUM_LEN"]
+
+PACKET_LEN = 256  # CRTS_CR_PACKET_LEN
+PACKET_NUM_LEN = 4  # CRTS_CR_PACKET_NUM_LEN
+
+
+@dataclasses.dataclass(frozen=True)
+class TrafficConfig:
+    traffic_type: str = "stream"  # stream | burst | poisson
+    mean_throughput_bps: float = 1e6
+    burst_length: int = 1  # packets per burst (burst mode)
+
+
+class TrafficSource:
+    """Produces (timestamp, packet) pairs in simulation time.
+
+    The packet body is the fixed m-sequence; bytes 0..3 are overwritten with
+    the packet number, each byte masked so it can't collide with framing
+    (the reference ORs marker bits, src/crts_cognitive_radio.cpp:757-763 —
+    here the number is stored little-endian over 4 raw bytes).
+    """
+
+    def __init__(self, cfg: TrafficConfig, seed: int = 0):
+        self.cfg = cfg
+        self.base_payload = msequence_bytes(PACKET_LEN)
+        self.packet_num = 0
+        self.rng = np.random.default_rng(seed)
+        self._next_t = 0.0
+        bits_per_packet = PACKET_LEN * 8
+        self.mean_interval = bits_per_packet / cfg.mean_throughput_bps
+
+    def _make_packet(self) -> np.ndarray:
+        p = self.base_payload.copy()
+        num = np.frombuffer(
+            int(self.packet_num).to_bytes(PACKET_NUM_LEN, "little"), np.uint8
+        )
+        p[:PACKET_NUM_LEN] = num
+        self.packet_num += 1
+        return p
+
+    def packets_until(self, t: float) -> list[tuple[float, np.ndarray]]:
+        """All packets scheduled up to simulation time t."""
+        out: list[tuple[float, np.ndarray]] = []
+        cfg = self.cfg
+        while self._next_t <= t:
+            if cfg.traffic_type == "stream":
+                out.append((self._next_t, self._make_packet()))
+                self._next_t += self.mean_interval
+            elif cfg.traffic_type == "burst":
+                for _ in range(max(cfg.burst_length, 1)):
+                    out.append((self._next_t, self._make_packet()))
+                self._next_t += self.mean_interval * max(cfg.burst_length, 1)
+            elif cfg.traffic_type == "poisson":
+                out.append((self._next_t, self._make_packet()))
+                self._next_t += float(self.rng.exponential(self.mean_interval))
+            else:
+                raise ValueError(f"unknown traffic type {cfg.traffic_type!r}")
+        return out
+
+    @staticmethod
+    def packet_number(payload: np.ndarray) -> int:
+        return int.from_bytes(bytes(payload[:PACKET_NUM_LEN]), "little")

@@ -1,0 +1,130 @@
+"""Scenario-level integration tests: the predictive sense->retune loop and
+interferer behavior, mirroring the reference's scenario-as-test strategy
+(SURVEY.md §4) but automated and deterministic."""
+
+import numpy as np
+import pytest
+
+from cognitive_radio_network_tpu.runtime import (
+    NodeConfig,
+    ScenarioConfig,
+    ScenarioRuntime,
+)
+
+
+def _predictive_scenario(run_time=0.45, pu_engine="CE_TX_CHANNEL_X", pu_args="-c 1"):
+    """PU transmitting on a channel + CE_Predictive_Node SU sensing
+    fc=833 MHz / 13 MS/s (the reference predictive_model scenario shape)."""
+    pu = NodeConfig(
+        cognitive_engine=pu_engine,
+        ce_args=pu_args,
+        ce_timeout_ms=50.0,
+        net_mean_throughput=3e6,
+        tx_freq=833e6,
+        tx_rate=1.3e6,
+        tx_gain=33.0,
+        rx_freq=870e6,
+        rx_rate=1e6,
+    )
+    su = NodeConfig(
+        cognitive_engine="CE_Predictive_Node",
+        ce_timeout_ms=10.0,
+        net_mean_throughput=1e6,
+        tx_freq=833e6,
+        tx_rate=1e6,
+        tx_gain=25.0,
+        rx_freq=833e6,
+        rx_rate=13e6,
+    )
+    return ScenarioConfig(
+        num_nodes=2,
+        run_time=run_time,
+        nodes=[pu, su],
+        medium_rate=13e6,
+        medium_center=833e6,
+        medium_block_len=65536,
+        medium_noise_power=1e-7,
+        name="predictive_test",
+    )
+
+
+class TestPredictiveScenario:
+    def test_su_detects_pu_and_retunes(self):
+        """PU parked on CH1 (833 MHz) -> the predictive SU must decide
+        'channel 1 occupied' and retune its tx to CH2 = 835 MHz
+        (CE_Predictive_Node.cpp:245-248)."""
+        rt = ScenarioRuntime(_predictive_scenario())
+        rt.run()
+        su = rt.nodes[1]
+        eng = su.engine
+        assert len(eng.decisions) >= 2, f"only {len(eng.decisions)} sense cycles ran"
+        # PU occupies CH1 continuously; dominant decision must be 1
+        from collections import Counter
+
+        common = Counter(eng.decisions).most_common(1)[0][0]
+        assert common == 1, f"decisions={eng.decisions}"
+        assert su.radio.get_tx_freq() == 835e6
+
+    def test_su_follows_pu_channel_3(self):
+        rt = ScenarioRuntime(
+            _predictive_scenario(pu_engine="CE_TX_CHANNEL_X", pu_args="-c 3")
+        )
+        rt.run()
+        eng = rt.nodes[1].engine
+        from collections import Counter
+
+        common = Counter(eng.decisions).most_common(1)[0][0]
+        assert common == 3, f"decisions={eng.decisions}"
+        # decision 3 -> CHANNEL2 (CE_Predictive_Node.cpp:255-258)
+        assert rt.nodes[1].radio.get_tx_freq() == 835e6
+
+
+class TestInterfererScenario:
+    def test_cw_interferer_occupies_band(self):
+        """A CW interferer at 835 MHz must drive the predictive SU's CH2
+        energy up (sensed via its decisions)."""
+        cfg = _predictive_scenario(run_time=0.35)
+        cfg.nodes[0] = NodeConfig(
+            node_type="interferer",
+            interference_type="cw",
+            period=1.0,
+            duty_cycle=1.0,
+            tx_freq=835e6,
+            tx_rate=1e6,
+            tx_gain_soft=18.0,
+        )
+        rt = ScenarioRuntime(cfg)
+        rt.run()
+        eng = rt.nodes[1].engine
+        assert len(eng.decisions) >= 2
+        from collections import Counter
+
+        common = Counter(eng.decisions).most_common(1)[0][0]
+        assert common == 2, f"decisions={eng.decisions}"
+
+    def test_interferer_sweep_hops(self):
+        from cognitive_radio_network_tpu.env.interference import InterfererConfig
+        from cognitive_radio_network_tpu.runtime.node import InterfererNode
+
+        node = InterfererNode(
+            0,
+            13e6,
+            833e6,
+            InterfererConfig(
+                interference_type="noise",
+                tx_freq_behavior="sweep",
+                tx_freq_hz=833e6,
+                tx_freq_min_hz=833e6,
+                tx_freq_max_hz=838e6,
+                tx_freq_dwell_s=0.001,
+                tx_freq_resolution_hz=1e6,
+            ),
+        )
+        node.start()
+        freqs = []
+        for _ in range(80):
+            node.pull_tx_block(16384)
+            freqs.append(node.tx_freq)
+        # swept up and reflected back
+        assert max(freqs) >= 838e6 and min(freqs) <= 834e6
+        assert len(set(freqs)) >= 5
