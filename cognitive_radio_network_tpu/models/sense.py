@@ -52,9 +52,9 @@ class SenseConfig:
     center_hz: float = 833e6
     sensing_delay_ms: float = 100.0
     fft_mode: str = "dft_matmul"  # "dft_matmul" (MXU) or "xla" (jnp.fft)
-    # "highest" = true f32 matmuls (bit-matching decisions guarantee);
-    # "default" = bf16 MXU passes (~6x faster, no formal guarantee).
-    precision: str = "highest"
+    # "highest" = true f32 matmuls (strict bit-match mode); "high" = bf16_3x
+    # (~5e-5 rel err, ~1.5x faster, default); "default" = bf16 (fastest).
+    precision: str = "high"
 
     @property
     def samples_per_cycle(self) -> int:

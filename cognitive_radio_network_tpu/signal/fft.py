@@ -42,7 +42,7 @@ def dft_matrices(n: int, dtype=jnp.float32) -> tuple[jax.Array, jax.Array]:
 
 
 def spectrum_magnitude(
-    x: jax.Array, *, mode: str = "dft_matmul", precision: str = "highest"
+    x: jax.Array, *, mode: str = "dft_matmul", precision: str = "high"
 ) -> jax.Array:
     """|FFT(x)| over the sample axis.
 
@@ -52,9 +52,9 @@ def spectrum_magnitude(
 
     ``dft_matmul`` computes X = x @ F with the real/imag split
     (Xre = xr@Fre - xi@Fim, Xim = xr@Fim + xi@Fre): four MXU matmuls.
-    ``precision``: "highest" (true f32, required for the bit-matching
-    occupancy-decision guarantee) or "default" (bf16 multiplies, ~6x faster
-    on the MXU, decisions still match in practice but without the guarantee).
+    ``precision``: "highest" (true f32 — the strict bit-match mode),
+    "high" (bf16_3x passes, ~5e-5 relative error, ~1.5x faster on the MXU —
+    the default), or "default" (single bf16 pass, ~1e-2 error, fastest).
     """
     from cognitive_radio_network_tpu.signal.iq import split_iq
 
@@ -65,7 +65,11 @@ def spectrum_magnitude(
         return jnp.abs(jnp.fft.fft(z, axis=-1)).astype(jnp.float32)
     if mode != "dft_matmul":
         raise ValueError(f"unknown spectrum mode: {mode}")
-    prec = jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
     fre, fim = dft_matrices(n)
 
     def mm(a, b):
@@ -81,7 +85,7 @@ def averaged_magnitude_spectrum(
     *,
     averaging: int | None = None,
     mode: str = "dft_matmul",
-    precision: str = "highest",
+    precision: str = "high",
 ) -> jax.Array:
     """Magnitude-average spectra over an averaging axis.
 
