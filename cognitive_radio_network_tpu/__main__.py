@@ -40,6 +40,18 @@ def main(argv=None) -> int:
 
     ep = sub.add_parser("engines", help="list registered engines/controllers")
 
+    tp = sub.add_parser(
+        "train", help="train the occupancy classifier on synthetic scenes"
+    )
+    tp.add_argument("-n", "--num-examples", type=int, default=400)
+    tp.add_argument("-s", "--steps", type=int, default=2000)
+    tp.add_argument("--lr", type=float, default=3e-3)
+    tp.add_argument("-o", "--out", default="checkpoints/occupancy_mlp.npz")
+    tp.add_argument("--seed", type=int, default=0)
+
+    wp = sub.add_parser("spectrum", help="headless spectrum analyzer")
+    wp.add_argument("spectrum_args", nargs=argparse.REMAINDER)
+
     args = ap.parse_args(argv)
 
     from cognitive_radio_network_tpu.runtime import (
@@ -56,6 +68,38 @@ def main(argv=None) -> int:
     if args.cmd == "engines":
         print("cognitive engines:", ", ".join(engine_names()))
         print("scenario controllers:", ", ".join(controller_names()))
+        return 0
+
+    if args.cmd == "spectrum":
+        from cognitive_radio_network_tpu.tools.spectrum_analyzer import main as smain
+
+        return smain(args.spectrum_args)
+
+    if args.cmd == "train":
+        import jax
+        import numpy as np
+
+        from cognitive_radio_network_tpu.io.checkpoint import save_mlp
+        from cognitive_radio_network_tpu.models.train import (
+            TrainConfig,
+            fit,
+            make_dataset,
+        )
+        from cognitive_radio_network_tpu.signal.mlp import mlp_forward
+        import jax.numpy as jnp
+
+        key = jax.random.key(args.seed)
+        feats, labels = make_dataset(key, args.num_examples)
+        tcfg = TrainConfig(learning_rate=args.lr, num_steps=args.steps)
+        params, losses = fit(jax.random.key(args.seed + 1), feats, labels, tcfg)
+        preds = mlp_forward(params, jnp.log1p(feats)) > 0.5
+        acc = float(jnp.mean(preds == (labels > 0.5)))
+        save_mlp(args.out, params)
+        print(
+            f"trained {args.num_examples} examples, {args.steps} steps: "
+            f"loss {losses[0]:.4f} -> {losses[-1]:.4f}, accuracy {acc:.3f}; "
+            f"saved {args.out}"
+        )
         return 0
 
     if args.cmd == "scenario":

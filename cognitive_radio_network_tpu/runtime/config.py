@@ -111,6 +111,13 @@ class ScenarioConfig:
     medium_noise_power: float = 1e-6
     seed: int = 0
     name: str = "scenario"
+    # failure policy: "terminate" ends the scenario when a node errors (the
+    # reference controller's behavior on node disconnect,
+    # src/crts_controller.cpp:43-54); "continue" halts just the failed node
+    on_node_failure: str = "terminate"
+    # wall-clock guard (reference: run_time + 10 s forceful termination,
+    # src/crts_controller.cpp:524-527); None disables
+    max_wall_time_s: float | None = None
 
 
 @dataclasses.dataclass

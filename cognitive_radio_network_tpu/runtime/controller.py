@@ -96,6 +96,22 @@ class ScenarioRuntime:
                         i, mcfg.sample_rate_hz, mcfg.center_hz, icfg, self.log, seed=i
                     )
                 )
+            elif nc.cognitive_radio_type == "python":
+                # third-party radio support: the reference forks a python
+                # process (src/crts_cognitive_radio.cpp:660-720); here the
+                # file is loaded in-process and must expose
+                # create_node(node_id, medium_rate, medium_center, config)
+                import importlib.util
+
+                spec = importlib.util.spec_from_file_location(
+                    f"crn_user_radio_{i}", nc.python_file
+                )
+                mod = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(mod)
+                self.nodes.append(
+                    mod.create_node(i, mcfg.sample_rate_hz, mcfg.center_hz, nc)
+                )
+                continue
             else:
                 node = RadioNode(
                     i,
@@ -142,6 +158,8 @@ class ScenarioRuntime:
         self._last_fb: dict[tuple[int, CrtsParam], Any] = {}
         self._last_sc_t = 0.0
         self._last_stats_fb_t: dict[int, float] = {}
+        self.failed_nodes: dict[int, str] = {}
+        self.terminated = False
 
     # -- control channel (set_node_parameter -> apply_control_msg,
     #    src/crts_cognitive_radio.cpp:127-206) --
@@ -251,17 +269,34 @@ class ScenarioRuntime:
             n.start()
         self.sc.initialize_node_fb()
 
+    def _node_failed(self, idx: int, exc: Exception) -> None:
+        """Failure detection (the reference controller's node-disconnect
+        handling, src/crts_controller.cpp:43-54): halt the node, record, and
+        terminate the run under the default policy."""
+        self.failed_nodes[idx] = f"{type(exc).__name__}: {exc}"
+        self.nodes[idx].started = False
+        if self.cfg.on_node_failure == "terminate":
+            self.terminated = True
+
     def step(self) -> None:
         n = self.medium_cfg.block_len
         dt = self.medium_cfg.block_dt
-        for node in self.nodes:
-            node.poll_traffic(self.t)
-        contributions = [node.pull_tx_block(n) for node in self.nodes]
+        contributions = []
+        for i, node in enumerate(self.nodes):
+            try:
+                node.poll_traffic(self.t)
+                contributions.append(node.pull_tx_block(n))
+            except Exception as e:  # noqa: BLE001 - node isolation boundary
+                self._node_failed(i, e)
+                contributions.append(None)
         blocks = self.medium.propagate(contributions)
-        for node, block in zip(self.nodes, blocks):
-            node.push_rx_block(block, self.t)
-            node.run_ce(self.t)
-            node.drain_rx_packets(self.t)
+        for i, (node, block) in enumerate(zip(self.nodes, blocks)):
+            try:
+                node.push_rx_block(block, self.t)
+                node.run_ce(self.t)
+                node.drain_rx_packets(self.t)
+            except Exception as e:  # noqa: BLE001
+                self._node_failed(i, e)
         self._collect_feedback()
         if (self.t - self._last_sc_t) * 1e3 >= self.sc.sc_timeout_ms:
             self.sc.timeout()
@@ -269,12 +304,22 @@ class ScenarioRuntime:
         self.t += dt
 
     def run(self, rep: int = 1) -> ScenarioSummary:
+        import time as _time
+
         self.start()
-        while self.t < self.cfg.run_time:
+        wall_start = _time.monotonic()
+        while self.t < self.cfg.run_time and not self.terminated:
             self.step()
+            if (
+                self.cfg.max_wall_time_s is not None
+                and _time.monotonic() - wall_start > self.cfg.max_wall_time_s
+            ):
+                # forceful termination (crts_controller.cpp:556-577 analog)
+                self.terminated = True
         bytes_sent, bytes_rcvd, frames, valid = [], [], [], []
         for node in self.nodes:
-            if isinstance(node, InterfererNode):
+            if isinstance(node, InterfererNode) or not isinstance(node, RadioNode):
+                # interferers and third-party radios have no traffic counters
                 bytes_sent.append(0)
                 bytes_rcvd.append(0)
                 frames.append(0)

@@ -1,0 +1,130 @@
+"""io (IQ files, checkpoints) + tools (spectrum analyzer) + training tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cognitive_radio_network_tpu.io import (
+    IQReader,
+    IQWriter,
+    StreamCursor,
+    load_mlp,
+    save_mlp,
+    load_state,
+    save_state,
+)
+from cognitive_radio_network_tpu.signal.mlp import reference_weights, init_mlp
+from cognitive_radio_network_tpu.tools import spectrum_analyzer as sa
+
+
+class TestIQFiles:
+    def test_roundtrip_and_meta(self, tmp_path, rng):
+        iq = (rng.standard_normal(1000) + 1j * rng.standard_normal(1000)).astype(
+            np.complex64
+        )
+        p = tmp_path / "cap.iq"
+        with IQWriter(p, 13e6, 833e6) as w:
+            w.write(iq)
+        r = IQReader(p)
+        assert r.sample_rate_hz == 13e6 and r.center_hz == 833e6
+        assert r.num_samples == 1000
+        got = r.read(1000, as_planes=False)
+        np.testing.assert_allclose(got, iq, rtol=1e-6)
+
+    def test_cursor_resume(self, tmp_path, rng):
+        iq = (rng.standard_normal(600) + 1j * rng.standard_normal(600)).astype(
+            np.complex64
+        )
+        p = tmp_path / "cap.iq"
+        with IQWriter(p, 1e6, 0.0) as w:
+            w.write(iq)
+        r1 = IQReader(p)
+        a = r1.read(200, as_planes=False)
+        r1.cursor.save(tmp_path / "cursor.json")
+        # resume in a "new process"
+        r2 = IQReader(p, StreamCursor.load(tmp_path / "cursor.json"))
+        b = r2.read(400, as_planes=False)
+        np.testing.assert_allclose(np.concatenate([a, b]), iq, rtol=1e-6)
+
+    def test_blocks_iterator(self, tmp_path, rng):
+        iq = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024)).astype(
+            np.complex64
+        )
+        p = tmp_path / "cap.iq"
+        with IQWriter(p, 1e6, 0.0) as w:
+            w.write(iq)
+        blocks = list(IQReader(p).blocks(256))
+        assert len(blocks) == 4 and blocks[0].shape == (256, 2)
+
+
+class TestCheckpoint:
+    def test_mlp_roundtrip(self, tmp_path):
+        params = reference_weights()
+        save_mlp(tmp_path / "p.npz", params)
+        loaded = load_mlp(tmp_path / "p.npz")
+        for a, b in zip(params, loaded):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_state_tree_roundtrip(self, tmp_path):
+        import optax
+
+        from cognitive_radio_network_tpu.models.train import TrainState
+
+        params = init_mlp(jax.random.key(0))
+        opt = optax.adam(1e-3)
+        state = TrainState(params, opt.init(params), jnp.int32(7))
+        save_state(tmp_path / "s.npz", state)
+        restored = load_state(tmp_path / "s.npz", state)
+        assert int(restored.step) == 7
+        np.testing.assert_array_equal(
+            np.asarray(restored.params.w1), np.asarray(params.w1)
+        )
+
+
+class TestSpectrumAnalyzer:
+    def test_waterfall_tone(self, rng):
+        cfg = sa.SpectrumConfig(fft_length=256, average=4, sample_rate_hz=1e6, center_hz=0.0)
+        n = 256 * 4 * 6
+        tone = np.exp(2j * np.pi * 0.25 * np.arange(n)).astype(np.complex64)
+        tone += 0.001 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+        wf = np.asarray(sa.waterfall(jnp.asarray(tone), cfg))
+        assert wf.shape == (6, 256)
+        peak_bin = wf.mean(axis=0).argmax()
+        f = sa.freq_axis_hz(cfg)
+        assert abs(f[peak_bin] - 0.25e6) < 2 * 1e6 / 256
+
+    def test_psd_and_ascii(self, rng):
+        cfg = sa.SpectrumConfig(fft_length=128, average=2, sample_rate_hz=1e6)
+        x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)).astype(
+            np.complex64
+        )
+        p = np.asarray(sa.psd(jnp.asarray(x), cfg))
+        assert p.shape == (128,)
+        art = sa.render_ascii(np.asarray(sa.waterfall(jnp.asarray(x), cfg)))
+        assert len(art.splitlines()) >= 1
+
+    def test_700M_variant_defaults(self):
+        assert sa.BAND_700M.center_hz == 766e6
+        assert sa.BAND_700M.sample_rate_hz == 10e6
+
+
+class TestTraining:
+    def test_fit_learns_synthetic_dataset(self):
+        from cognitive_radio_network_tpu.models.train import (
+            TrainConfig,
+            fit,
+            make_dataset,
+        )
+        from cognitive_radio_network_tpu.signal.mlp import mlp_forward
+
+        feats, labels = make_dataset(jax.random.key(0), num_examples=200)
+        params, losses = fit(
+            jax.random.key(1),
+            feats,
+            labels,
+            TrainConfig(num_steps=600, learning_rate=1e-2),
+        )
+        assert losses[-1] < losses[0] * 0.5
+        preds = mlp_forward(params, jnp.log1p(feats)) > 0.5
+        acc = float(jnp.mean(preds == (labels > 0.5)))
+        assert acc > 0.9, f"accuracy {acc}"
