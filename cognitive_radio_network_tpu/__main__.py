@@ -52,6 +52,13 @@ def main(argv=None) -> int:
     wp = sub.add_parser("spectrum", help="headless spectrum analyzer")
     wp.add_argument("spectrum_args", nargs=argparse.REMAINDER)
 
+    xp = sub.add_parser(
+        "export", help="convert saved npz run logs to Octave .m (the "
+        "convert_logs_bin_to_octave equivalent)"
+    )
+    xp.add_argument("npz")
+    xp.add_argument("-o", "--out", required=True)
+
     args = ap.parse_args(argv)
 
     from cognitive_radio_network_tpu.runtime import (
@@ -74,6 +81,29 @@ def main(argv=None) -> int:
         from cognitive_radio_network_tpu.tools.spectrum_analyzer import main as smain
 
         return smain(args.spectrum_args)
+
+    if args.cmd == "export":
+        import numpy as np
+        from pathlib import Path
+
+        data = np.load(args.npz, allow_pickle=True)
+        lines = []
+        for key in data.files:
+            var = key.replace(".", "_")
+            v = data[key]
+            if v.dtype.kind in "OU":
+                lines.append(
+                    f"{var} = {{{', '.join(repr(str(x)) for x in v)}}};".replace(
+                        "'", "'"
+                    )
+                )
+            else:
+                vals = ", ".join(str(x) for x in np.asarray(v, float))
+                lines.append(f"{var} = [{vals}];")
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text("\n".join(lines) + "\n")
+        print(f"wrote {len(lines)} variables to {args.out}")
+        return 0
 
     if args.cmd == "train":
         import jax
