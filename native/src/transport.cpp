@@ -1,0 +1,152 @@
+// Framed TCP transport for the scenario control plane.
+//
+// Native analog of the reference's raw-struct TCP star (controller listens
+// on port 4444, every node connects: src/crts_controller.cpp:245-267 /
+// :430-473, src/crts_cognitive_radio.cpp:533-553).  Where the reference
+// memcpy's C structs straight onto the socket (layout-coupled, no framing),
+// every message here is [u32 payload_len][u8 type][payload] with explicit
+// little-endian framing, so Python and C++ peers interoperate and partial
+// reads are handled.  recv uses poll() instead of the reference's
+// busy-polling nonblocking loop (src/crts_controller.cpp:518-528).
+
+#include "crn_runtime.h"
+
+#include <cstdio>
+#include <cstring>
+
+#include <arpa/inet.h>
+#include <netdb.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <poll.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+namespace {
+
+// Read exactly n bytes; first_timeout_ms applies to the first byte, later
+// bytes wait indefinitely (a started frame must finish).
+// Returns n, 0 on clean close before any byte, -2 on timeout before any
+// byte, -1 on error.
+int64_t read_exact(int fd, void *buf, uint64_t n, int first_timeout_ms) {
+  uint8_t *p = static_cast<uint8_t *>(buf);
+  uint64_t got = 0;
+  while (got < n) {
+    struct pollfd pfd = {fd, POLLIN, 0};
+    int timeout = got == 0 ? first_timeout_ms : -1;
+    int pr = ::poll(&pfd, 1, timeout);
+    if (pr == 0) return got == 0 ? -2 : -1;
+    if (pr < 0) return -1;
+    ssize_t r = ::recv(fd, p + got, n - got, 0);
+    if (r == 0) return got == 0 ? 0 : -1;  // peer closed
+    if (r < 0) return -1;
+    got += static_cast<uint64_t>(r);
+  }
+  return static_cast<int64_t>(n);
+}
+
+int write_all(int fd, const void *buf, uint64_t n) {
+  const uint8_t *p = static_cast<const uint8_t *>(buf);
+  uint64_t sent = 0;
+  while (sent < n) {
+    ssize_t w = ::send(fd, p + sent, n - sent, MSG_NOSIGNAL);
+    if (w <= 0) return -1;
+    sent += static_cast<uint64_t>(w);
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int crn_tcp_listen(uint16_t port) {
+  int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+  if (fd < 0) return -1;
+  int one = 1;
+  setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  struct sockaddr_in addr;
+  std::memset(&addr, 0, sizeof(addr));
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_ANY);
+  addr.sin_port = htons(port);
+  if (::bind(fd, reinterpret_cast<struct sockaddr *>(&addr), sizeof(addr)) <
+          0 ||
+      ::listen(fd, 64) < 0) {
+    ::close(fd);
+    return -1;
+  }
+  return fd;
+}
+
+int crn_tcp_accept(int server_fd, int timeout_ms) {
+  struct pollfd pfd = {server_fd, POLLIN, 0};
+  int pr = ::poll(&pfd, 1, timeout_ms);
+  if (pr == 0) return -2;
+  if (pr < 0) return -1;
+  int fd = ::accept(server_fd, nullptr, nullptr);
+  if (fd < 0) return -1;
+  int one = 1;
+  setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+  return fd;
+}
+
+int crn_tcp_connect(const char *host, uint16_t port, int timeout_ms) {
+  struct addrinfo hints, *res = nullptr;
+  std::memset(&hints, 0, sizeof(hints));
+  hints.ai_family = AF_INET;
+  hints.ai_socktype = SOCK_STREAM;
+  char portstr[8];
+  std::snprintf(portstr, sizeof(portstr), "%u", static_cast<unsigned>(port));
+  if (getaddrinfo(host, portstr, &hints, &res) != 0 || !res) return -1;
+  int fd = ::socket(res->ai_family, res->ai_socktype, res->ai_protocol);
+  if (fd < 0) {
+    freeaddrinfo(res);
+    return -1;
+  }
+  // Non-blocking connect with poll timeout.
+  int rc = ::connect(fd, res->ai_addr, res->ai_addrlen);
+  freeaddrinfo(res);
+  if (rc < 0) {
+    ::close(fd);
+    return -1;
+  }
+  (void)timeout_ms;
+  int one = 1;
+  setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+  return fd;
+}
+
+int crn_msg_send(int fd, uint8_t type, const void *payload, uint32_t len) {
+  uint8_t hdr[5] = {static_cast<uint8_t>(len), static_cast<uint8_t>(len >> 8),
+                    static_cast<uint8_t>(len >> 16),
+                    static_cast<uint8_t>(len >> 24), type};
+  if (write_all(fd, hdr, 5) != 0) return -1;
+  if (len && write_all(fd, payload, len) != 0) return -1;
+  return 0;
+}
+
+int64_t crn_msg_recv(int fd, uint8_t *type, void *buf, uint64_t cap,
+                     int timeout_ms) {
+  uint8_t hdr[5];
+  int64_t r = read_exact(fd, hdr, 5, timeout_ms);
+  if (r == -2) return -2;  // timeout
+  if (r == 0) return -3;   // clean close
+  if (r != 5) return -1;
+  uint32_t len = static_cast<uint32_t>(hdr[0]) |
+                 (static_cast<uint32_t>(hdr[1]) << 8) |
+                 (static_cast<uint32_t>(hdr[2]) << 16) |
+                 (static_cast<uint32_t>(hdr[3]) << 24);
+  *type = hdr[4];
+  if (len > cap) return -4;
+  if (len == 0) return 0;
+  r = read_exact(fd, buf, len, -1);
+  if (r != static_cast<int64_t>(len)) return -1;
+  return static_cast<int64_t>(len);
+}
+
+void crn_tcp_close(int fd) {
+  if (fd >= 0) ::close(fd);
+}
+
+}  // extern "C"

@@ -1,0 +1,234 @@
+"""Native runtime library (native/ + cognitive_radio_network_tpu.native).
+
+Builds libcrn_runtime.so via make (g++) and checks every subsystem against
+its pure-Python counterpart: IQ prefetch stream vs io.iq.IQReader, binlog
+framing + CRC integrity, framed TCP transport round-trips, and the packet
+engine vs signal.msequence / runtime.traffic (bit-identical).
+"""
+
+import struct
+import threading
+import zlib
+
+import numpy as np
+import pytest
+
+from cognitive_radio_network_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no C++ toolchain)"
+)
+
+
+# ---------------- IQ stream ----------------
+
+
+def _write_capture(tmp_path, n, seed=0):
+    from cognitive_radio_network_tpu.io.iq import IQWriter
+
+    rng = np.random.default_rng(seed)
+    data = rng.standard_normal((n, 2)).astype(np.float32)
+    path = tmp_path / "cap.iq"
+    with IQWriter(path, 13e6, 833e6) as w:
+        w.write(data)
+    return path, data
+
+
+class TestNativeIQStream:
+    def test_blocks_match_file(self, tmp_path):
+        path, data = _write_capture(tmp_path, 4096)
+        with native.NativeIQStream(path, 512, depth=4) as s:
+            assert s.num_samples == 4096
+            blocks = list(s.blocks())
+        assert len(blocks) == 8
+        np.testing.assert_array_equal(np.concatenate(blocks), data)
+
+    def test_partial_tail_dropped(self, tmp_path):
+        path, _ = _write_capture(tmp_path, 1000)
+        with native.NativeIQStream(path, 512) as s:
+            blocks = list(s.blocks())
+        assert len(blocks) == 1  # 1000 // 512
+
+    def test_resumable_cursor(self, tmp_path):
+        path, data = _write_capture(tmp_path, 2048)
+        with native.NativeIQStream(path, 256) as s:
+            s.next_block()
+            s.next_block()
+            cur = s.cursor
+        assert cur == 512
+        with native.NativeIQStream(path, 256, start_sample=cur) as s2:
+            b = s2.next_block()
+        np.testing.assert_array_equal(b, data[512:768])
+
+    def test_loop_mode(self, tmp_path):
+        path, data = _write_capture(tmp_path, 512)
+        with native.NativeIQStream(path, 256, loop=True) as s:
+            blocks = [s.next_block() for _ in range(6)]
+        for i, b in enumerate(blocks):
+            np.testing.assert_array_equal(b, data[(i % 2) * 256 : (i % 2) * 256 + 256])
+
+    def test_matches_python_reader(self, tmp_path):
+        from cognitive_radio_network_tpu.io.iq import IQReader
+
+        path, _ = _write_capture(tmp_path, 4096, seed=7)
+        py = list(IQReader(path).blocks(512))
+        with native.NativeIQStream(path, 512) as s:
+            nat = list(s.blocks())
+        assert len(py) == len(nat)
+        for a, b in zip(py, nat):
+            np.testing.assert_array_equal(a, b)
+
+
+# ---------------- binlog ----------------
+
+
+class TestBinLog:
+    def test_roundtrip(self, tmp_path):
+        p = tmp_path / "phy_rx.crnl"
+        recs = [struct.pack("<ifd", i, 1.5 * i, 0.25 * i) for i in range(100)]
+        with native.BinLogWriter(p, "phy_rx:<ifd") as w:
+            for r in recs:
+                w.append(r)
+        with native.BinLogReader(p) as rd:
+            assert rd.stream_name == "phy_rx:<ifd"
+            assert len(rd) == 100
+            got = list(rd)
+        assert got == recs
+
+    def test_variable_length_records(self, tmp_path):
+        p = tmp_path / "v.crnl"
+        recs = [bytes(range(i % 251)) for i in range(50)]
+        with native.BinLogWriter(p, "var") as w:
+            for r in recs:
+                w.append(r)
+        with native.BinLogReader(p) as rd:
+            assert list(rd) == recs
+
+    def test_truncated_tail_dropped(self, tmp_path):
+        p = tmp_path / "t.crnl"
+        with native.BinLogWriter(p, "s") as w:
+            w.append(b"A" * 64)
+            w.append(b"B" * 64)
+        raw = p.read_bytes()
+        p.write_bytes(raw[:-10])  # simulate crash mid-record
+        with native.BinLogReader(p) as rd:
+            assert len(rd) == 1
+            assert rd.record(0) == b"A" * 64
+
+    def test_corruption_detected(self, tmp_path):
+        p = tmp_path / "c.crnl"
+        with native.BinLogWriter(p, "s") as w:
+            w.append(b"hello world")
+        raw = bytearray(p.read_bytes())
+        raw[-3] ^= 0xFF  # flip a payload byte
+        p.write_bytes(bytes(raw))
+        with native.BinLogReader(p) as rd:
+            with pytest.raises(OSError, match="CRC"):
+                rd.record(0)
+
+    def test_crc32_matches_zlib(self):
+        for data in (b"", b"a", b"123456789", bytes(range(256))):
+            assert native.crc32(data) == zlib.crc32(data)
+
+
+# ---------------- transport ----------------
+
+
+class TestTransport:
+    def test_roundtrip_and_timeout(self):
+        srv = native.MsgTransport.listen(47123)
+        got = {}
+
+        def server():
+            conn = native.MsgTransport.accept(srv, 5000)
+            got["first"] = conn.recv(5000)
+            conn.send(7, b"reply-payload")
+            got["timeout"] = conn.recv(100)  # nothing more -> None
+            conn.close()
+
+        t = threading.Thread(target=server)
+        t.start()
+        cli = native.MsgTransport.connect("127.0.0.1", 47123, 5000)
+        cli.send(3, b"hello control plane")
+        typ, payload = cli.recv(5000)
+        t.join(10)
+        assert got["first"] == (3, b"hello control plane")
+        assert got["timeout"] is None
+        assert (typ, payload) == (7, b"reply-payload")
+        cli.close()
+        native.MsgTransport.close_server(srv)
+
+    def test_empty_and_large_payloads(self):
+        srv = native.MsgTransport.listen(47124)
+        out = {}
+
+        def server():
+            conn = native.MsgTransport.accept(srv, 5000)
+            out["a"] = conn.recv(5000)
+            out["b"] = conn.recv(5000)
+            conn.close()
+
+        t = threading.Thread(target=server)
+        t.start()
+        cli = native.MsgTransport.connect("127.0.0.1", 47124, 5000)
+        big = bytes(np.random.default_rng(0).integers(0, 256, 1 << 20, dtype=np.uint8))
+        cli.send(1)
+        cli.send(2, big)
+        t.join(10)
+        assert out["a"] == (1, b"")
+        assert out["b"] == (2, big)
+        cli.close()
+        native.MsgTransport.close_server(srv)
+
+    def test_peer_close_raises(self):
+        srv = native.MsgTransport.listen(47125)
+
+        def server():
+            conn = native.MsgTransport.accept(srv, 5000)
+            conn.close()
+
+        t = threading.Thread(target=server)
+        t.start()
+        cli = native.MsgTransport.connect("127.0.0.1", 47125, 5000)
+        t.join(10)
+        with pytest.raises(ConnectionResetError):
+            cli.recv(5000)
+        cli.close()
+        native.MsgTransport.close_server(srv)
+
+
+# ---------------- packet engine ----------------
+
+
+class TestPacketEngine:
+    def test_msequence_bitmatch_python(self):
+        from cognitive_radio_network_tpu.signal.msequence import msequence_bytes
+
+        for m in (7, 12, 15):
+            py = msequence_bytes(512, m)
+            nat = native.msequence_bytes_native(512, m)
+            np.testing.assert_array_equal(py, nat)
+
+    def test_fill_packets_matches_traffic_source(self):
+        from cognitive_radio_network_tpu.runtime.traffic import (
+            PACKET_LEN,
+            TrafficConfig,
+            TrafficSource,
+        )
+
+        src = TrafficSource(TrafficConfig())
+        py_packets = [src._make_packet() for _ in range(5)]
+        nat = native.fill_packets(5, PACKET_LEN, 0, src.base_payload)
+        for i in range(5):
+            np.testing.assert_array_equal(py_packets[i], nat[i])
+            assert native.packet_number(nat[i]) == i
+            assert TrafficSource.packet_number(nat[i]) == i
+
+    def test_bit_errors(self, rng):
+        a = rng.integers(0, 256, 10000, dtype=np.uint8)
+        b = a.copy()
+        flips = rng.choice(10000, 100, replace=False)
+        b[flips] ^= np.uint8(1 << 3)
+        assert native.bit_errors(a, b) == 100
+        expected = int(np.unpackbits(a ^ b).sum())
+        assert native.bit_errors(a, b) == expected
