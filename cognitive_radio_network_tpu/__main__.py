@@ -33,6 +33,35 @@ def main(argv=None) -> int:
     sp.add_argument("-r", "--reps", type=int, default=1)
     sp.add_argument("-l", "--log-dir", default="logs")
     sp.add_argument("-t", "--run-time", type=float, default=None)
+    sp.add_argument(
+        "-d",
+        "--distributed",
+        action="store_true",
+        help="run as a TCP controller with one OS process per node "
+        "(the crts_controller star topology)",
+    )
+    sp.add_argument("-p", "--port", type=int, default=4444)
+    sp.add_argument(
+        "-m",
+        "--manual",
+        action="store_true",
+        help="with -d: don't launch local node processes; wait for "
+        "operators to start them (crts_controller -m)",
+    )
+    sp.add_argument(
+        "--transport", choices=("auto", "native", "python"), default="auto"
+    )
+
+    np_ = sub.add_parser(
+        "node",
+        help="node client process (the crts_cognitive_radio / crts_interferer "
+        "equivalent): connects to a controller and runs the node pushed to it",
+    )
+    np_.add_argument("-a", "--controller", required=True, help="controller host")
+    np_.add_argument("-p", "--port", type=int, default=4444)
+    np_.add_argument(
+        "--transport", choices=("auto", "native", "python"), default="auto"
+    )
 
     mp = sub.add_parser("master", help="run a master scenario list")
     mp.add_argument("path")
@@ -71,6 +100,11 @@ def main(argv=None) -> int:
         load_scenario,
         run_master,
     )
+
+    if args.cmd == "node":
+        from cognitive_radio_network_tpu.runtime.netctl import run_node_client
+
+        return run_node_client(args.controller, args.port, args.transport)
 
     if args.cmd == "engines":
         print("cognitive engines:", ", ".join(engine_names()))
@@ -136,8 +170,28 @@ def main(argv=None) -> int:
         cfg = load_scenario(args.path)
         if args.run_time is not None:
             cfg.run_time = args.run_time
-        master = MasterConfig(scenarios=[(cfg.name, args.reps)], octave_log_summary=True)
-        summaries = run_master(master, lambda name: load_scenario(args.path), args.log_dir)
+        if args.distributed:
+            from cognitive_radio_network_tpu.runtime.netctl import NetController
+
+            summaries = []
+            for rep in range(1, args.reps + 1):
+                rep_cfg = load_scenario(args.path)
+                if args.run_time is not None:
+                    rep_cfg.run_time = args.run_time
+                ctl = NetController(
+                    rep_cfg,
+                    port=args.port,
+                    transport=args.transport,
+                    launch="manual" if args.manual else "local",
+                )
+                summaries.append(ctl.run(rep))
+        else:
+            master = MasterConfig(
+                scenarios=[(cfg.name, args.reps)], octave_log_summary=True
+            )
+            summaries = run_master(
+                master, lambda name: load_scenario(args.path), args.log_dir
+            )
     else:
         master = load_master(args.path)
         base = Path(args.path).parent

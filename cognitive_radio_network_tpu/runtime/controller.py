@@ -18,19 +18,21 @@ from typing import Any
 
 import numpy as np
 
-from cognitive_radio_network_tpu.env.interference import InterfererConfig
 from cognitive_radio_network_tpu.runtime.config import (
     MasterConfig,
     NodeConfig,
     ScenarioConfig,
+)
+from cognitive_radio_network_tpu.runtime.control import (
+    FB_GETTERS,
+    apply_node_control,
+    build_node,
 )
 from cognitive_radio_network_tpu.runtime.engine import create_controller
 from cognitive_radio_network_tpu.runtime.logging import LogSink
 from cognitive_radio_network_tpu.runtime.medium import Medium, MediumConfig
 from cognitive_radio_network_tpu.runtime.node import InterfererNode, RadioNode
 from cognitive_radio_network_tpu.runtime.scenario import CrtsParam, Feedback
-from cognitive_radio_network_tpu.runtime.traffic import TrafficConfig
-from cognitive_radio_network_tpu.phy import subcarriers as sc_mod
 
 __all__ = ["ScenarioRuntime", "ScenarioSummary", "run_master"]
 
@@ -48,21 +50,6 @@ class ScenarioSummary:
     valid_frames: list[int]
 
 
-def _alloc_for(node: NodeConfig, side: str):
-    method = getattr(node, f"{side}_subcarrier_alloc_method")
-    m = getattr(node, f"{side}_subcarriers")
-    if method == "standard":
-        return tuple(
-            sc_mod.standard_alloc(
-                m,
-                getattr(node, f"{side}_guard_subcarriers"),
-                getattr(node, f"{side}_central_nulls"),
-                getattr(node, f"{side}_pilot_freq"),
-            )
-        )
-    return None  # liquid-style default
-
-
 class ScenarioRuntime:
     def __init__(self, cfg: ScenarioConfig, log_sink: LogSink | None = None):
         self.cfg = cfg
@@ -75,79 +62,9 @@ class ScenarioRuntime:
             seed=cfg.seed,
         )
         self.medium_cfg = mcfg
-        self.nodes: list[Any] = []
-        for i, nc in enumerate(cfg.nodes):
-            if nc.node_type == "interferer":
-                icfg = InterfererConfig(
-                    interference_type=nc.interference_type,
-                    period_s=nc.period,
-                    duty_cycle=nc.duty_cycle,
-                    tx_rate_hz=nc.tx_rate,
-                    tx_gain_soft_db=nc.tx_gain_soft,
-                    tx_freq_behavior=nc.tx_freq_behavior,
-                    tx_freq_hz=nc.tx_freq,
-                    tx_freq_min_hz=nc.tx_freq_min,
-                    tx_freq_max_hz=nc.tx_freq_max,
-                    tx_freq_dwell_s=nc.tx_freq_dwell_time,
-                    tx_freq_resolution_hz=nc.tx_freq_resolution,
-                )
-                self.nodes.append(
-                    InterfererNode(
-                        i, mcfg.sample_rate_hz, mcfg.center_hz, icfg, self.log, seed=i
-                    )
-                )
-            elif nc.cognitive_radio_type == "python":
-                # third-party radio support: the reference forks a python
-                # process (src/crts_cognitive_radio.cpp:660-720); here the
-                # file is loaded in-process and must expose
-                # create_node(node_id, medium_rate, medium_center, config)
-                import importlib.util
-
-                spec = importlib.util.spec_from_file_location(
-                    f"crn_user_radio_{i}", nc.python_file
-                )
-                mod = importlib.util.module_from_spec(spec)
-                spec.loader.exec_module(mod)
-                self.nodes.append(
-                    mod.create_node(i, mcfg.sample_rate_hz, mcfg.center_hz, nc)
-                )
-                continue
-            else:
-                node = RadioNode(
-                    i,
-                    mcfg.sample_rate_hz,
-                    mcfg.center_hz,
-                    engine_name=nc.cognitive_engine,
-                    ce_args=nc.ce_args.split() if nc.ce_args else [],
-                    ce_timeout_ms=nc.ce_timeout_ms,
-                    traffic=TrafficConfig(
-                        traffic_type=nc.net_traffic_type,
-                        mean_throughput_bps=nc.net_mean_throughput,
-                        burst_length=nc.net_burst_length,
-                    ),
-                    log_sink=self.log,
-                )
-                r = node.radio
-                r.set_tx_freq(nc.tx_freq)
-                r.set_tx_rate(nc.tx_rate)
-                r.set_tx_gain(nc.tx_gain - 20.0)  # UHD dB ref: 20 dB ~ unit gain
-                r.set_tx_gain_soft(nc.tx_gain_soft)
-                r.set_tx_modulation(nc.tx_modulation)
-                r.set_tx_crc(nc.tx_crc)
-                r.set_tx_fec0(nc.tx_fec0)
-                r.set_tx_fec1(nc.tx_fec1)
-                r.set_tx_subcarriers(nc.tx_subcarriers)
-                r.set_tx_cp_len(nc.tx_cp_len)
-                r.set_tx_taper_len(nc.tx_taper_len)
-                r.set_tx_subcarrier_alloc(_alloc_for(nc, "tx"))
-                r.set_rx_freq(nc.rx_freq)
-                r.set_rx_rate(nc.rx_rate)
-                r.set_rx_gain(nc.rx_gain - 20.0)
-                r.set_rx_subcarriers(nc.rx_subcarriers)
-                r.set_rx_cp_len(nc.rx_cp_len)
-                r.set_rx_taper_len(nc.rx_taper_len)
-                r.set_rx_subcarrier_alloc(_alloc_for(nc, "rx"))
-                self.nodes.append(node)
+        self.nodes: list[Any] = [
+            build_node(i, nc, mcfg, self.log) for i, nc in enumerate(cfg.nodes)
+        ]
         self.medium = Medium(mcfg, len(self.nodes))
         self.sc = create_controller(
             cfg.scenario_controller, cfg.sc_args.split() if cfg.sc_args else []
@@ -165,72 +82,16 @@ class ScenarioRuntime:
     #    src/crts_cognitive_radio.cpp:127-206) --
 
     def apply_control(self, node_idx: int, param: CrtsParam, value) -> None:
-        node = self.nodes[node_idx]
-        if isinstance(node, InterfererNode):
-            c = node.cfg
-            mapping = {
-                CrtsParam.TX_STATE: lambda v: setattr(node, "tx_state", int(v)),
-                CrtsParam.TX_FREQ: lambda v: node.set_tx_freq(v),
-                CrtsParam.TX_DUTY_CYCLE: lambda v: _replace(node, duty_cycle=float(v)),
-                CrtsParam.TX_PERIOD: lambda v: _replace(node, period_s=float(v)),
-                CrtsParam.TX_FREQ_BEHAVIOR: lambda v: _replace(
-                    node, tx_freq_behavior=str(v)
-                ),
-                CrtsParam.TX_FREQ_MIN: lambda v: _replace(node, tx_freq_min_hz=float(v)),
-                CrtsParam.TX_FREQ_MAX: lambda v: _replace(node, tx_freq_max_hz=float(v)),
-                CrtsParam.TX_FREQ_DWELL_TIME: lambda v: _replace(
-                    node, tx_freq_dwell_s=float(v)
-                ),
-                CrtsParam.TX_FREQ_RES: lambda v: _replace(
-                    node, tx_freq_resolution_hz=float(v)
-                ),
-            }
-        else:
-            r = node.radio
-            mapping = {
-                CrtsParam.TX_STATE: lambda v: r.start_tx() if v else r.stop_tx(),
-                CrtsParam.TX_FREQ: r.set_tx_freq,
-                CrtsParam.TX_RATE: r.set_tx_rate,
-                CrtsParam.TX_GAIN: r.set_tx_gain,
-                CrtsParam.TX_MOD: r.set_tx_modulation,
-                CrtsParam.TX_CRC: r.set_tx_crc,
-                CrtsParam.TX_FEC0: r.set_tx_fec0,
-                CrtsParam.TX_FEC1: r.set_tx_fec1,
-                CrtsParam.RX_STATE: lambda v: r.start_rx() if v else r.stop_rx(),
-                CrtsParam.RX_FREQ: r.set_rx_freq,
-                CrtsParam.RX_RATE: r.set_rx_rate,
-                CrtsParam.RX_GAIN: r.set_rx_gain,
-                CrtsParam.RX_STATS_RESET: lambda v: r.reset_rx_stats(),
-                CrtsParam.RX_STATS_FB: lambda v: setattr(
-                    r, "rx_stat_fb_period_s", float(v)
-                ),
-                # PACKET_LEN * 8 bits per packet / target bps
-                CrtsParam.NET_THROUGHPUT: lambda v: setattr(
-                    node.traffic, "mean_interval", 2048.0 / float(v)
-                ),
-                CrtsParam.FB_EN: lambda v: self.sc.enable_feedback(node_idx, int(v)),
-            }
-        fn = mapping.get(param)
-        if fn is None:
-            raise KeyError(f"unsupported control param {param} for node {node_idx}")
-        fn(value)
+        apply_node_control(
+            self.nodes[node_idx],
+            param,
+            value,
+            on_fb_en=lambda mask: self.sc.enable_feedback(node_idx, mask),
+        )
 
     # -- feedback (delta detection, src/crts_cognitive_radio.cpp:208-383) --
 
-    _FB_GETTERS = {
-        CrtsParam.TX_STATE: lambda r: r.get_tx_state(),
-        CrtsParam.TX_FREQ: lambda r: r.get_tx_freq(),
-        CrtsParam.TX_RATE: lambda r: r.get_tx_rate(),
-        CrtsParam.TX_GAIN: lambda r: r.get_tx_gain(),
-        CrtsParam.TX_MOD: lambda r: r.get_tx_modulation(),
-        CrtsParam.TX_CRC: lambda r: r.get_tx_crc(),
-        CrtsParam.TX_FEC0: lambda r: r.get_tx_fec0(),
-        CrtsParam.TX_FEC1: lambda r: r.get_tx_fec1(),
-        CrtsParam.RX_STATE: lambda r: int(r.rx_running),
-        CrtsParam.RX_FREQ: lambda r: r.get_rx_freq(),
-        CrtsParam.RX_RATE: lambda r: r.get_rx_rate(),
-        CrtsParam.RX_GAIN: lambda r: r.get_rx_gain(),
-    }
+    _FB_GETTERS = FB_GETTERS
 
     def _collect_feedback(self) -> None:
         for i, node in enumerate(self.nodes):
@@ -335,10 +196,6 @@ class ScenarioRuntime:
         return ScenarioSummary(
             self.cfg.name, rep, bytes_sent, bytes_rcvd, frames, valid
         )
-
-
-def _replace(node: InterfererNode, **kw) -> None:
-    node.cfg = dataclasses.replace(node.cfg, **kw)
 
 
 def run_master(

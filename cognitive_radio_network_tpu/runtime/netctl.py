@@ -1,0 +1,539 @@
+"""Multi-process networked scenario runtime: TCP star topology.
+
+The distributed counterpart of the in-process :class:`ScenarioRuntime` —
+the same process architecture as the reference (SURVEY.md §2.5): a
+controller server listens on ``CRTS_TCP_CONTROL_PORT`` 4444
+(include/crts.hpp:190), launches one node *process* per node
+(src/crts_controller.cpp:404-421 does it over ssh; here local nodes are
+spawned with subprocess, and remote hosts get the same CLI:
+``python -m cognitive_radio_network_tpu node -a <controller> -p <port>``),
+pushes scenario + node parameters, broadcasts a synchronized start time
+(:487-498), exchanges control/feedback during the run, and collects
+summaries at termination (src/crts_cognitive_radio.cpp:958-967).
+
+Differences from the reference, by design:
+
+- Messages are explicitly framed ``[u32 len][u8 type][payload]`` with JSON
+  bodies instead of raw ``memcpy`` of C structs (layout-coupled, 2-8 KB,
+  src/crts_controller.cpp:470-473).  The framing is implemented twice with
+  one wire format: natively (native/src/transport.cpp, used when the C++
+  library is built) and in pure Python (:class:`PyMsgTransport`), and the
+  two interoperate.
+- The over-the-air data plane becomes explicit ``TX_BLOCK``/``RX_BLOCK``
+  messages through the controller, which hosts the shared :class:`Medium`:
+  per simulation step each node contributes its baseband block and receives
+  the gain-weighted mix of the others.  Steps are lockstep, so multi-process
+  runs are bit-deterministic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import socket
+import struct
+import subprocess
+import sys
+import time
+from typing import Any
+
+import numpy as np
+
+from cognitive_radio_network_tpu import native
+from cognitive_radio_network_tpu.runtime.config import ScenarioConfig
+from cognitive_radio_network_tpu.runtime.control import (
+    FB_GETTERS,
+    apply_node_control,
+    build_node,
+)
+from cognitive_radio_network_tpu.runtime.controller import ScenarioSummary
+from cognitive_radio_network_tpu.runtime.engine import create_controller
+from cognitive_radio_network_tpu.runtime.logging import LogSink
+from cognitive_radio_network_tpu.runtime.medium import Medium, MediumConfig
+from cognitive_radio_network_tpu.runtime.node import InterfererNode, RadioNode
+from cognitive_radio_network_tpu.runtime.scenario import CrtsParam, Feedback
+
+__all__ = [
+    "Msg",
+    "CRTS_TCP_CONTROL_PORT",
+    "PyMsgTransport",
+    "NetController",
+    "run_node_client",
+]
+
+CRTS_TCP_CONTROL_PORT = 4444  # include/crts.hpp:190
+
+
+class Msg:
+    """Message types (enum crts_msg_types, include/crts.hpp:198-205, plus
+    the explicit data-plane pair that replaces over-the-air OFDM)."""
+
+    SCENARIO_PARAMETERS = 1
+    START = 2
+    TERMINATE = 3
+    CONTROL = 4
+    FEEDBACK = 5
+    SUMMARY = 6
+    TX_BLOCK = 7  # node -> controller: baseband contribution for one step
+    RX_BLOCK = 8  # controller -> node: mixed medium output for one step
+
+
+class PyMsgTransport:
+    """Pure-Python endpoint, wire-compatible with native.MsgTransport."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    @staticmethod
+    def listen(port: int) -> socket.socket:
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("0.0.0.0", port))
+        srv.listen(64)
+        return srv
+
+    @classmethod
+    def accept(cls, server: socket.socket, timeout_ms: int = -1):
+        server.settimeout(None if timeout_ms < 0 else timeout_ms / 1e3)
+        try:
+            conn, _ = server.accept()
+        except socket.timeout:
+            return None
+        return cls(conn)
+
+    @classmethod
+    def connect(cls, host: str, port: int, timeout_ms: int = 5000):
+        s = socket.create_connection((host, port), timeout=timeout_ms / 1e3)
+        s.settimeout(None)
+        return cls(s)
+
+    @staticmethod
+    def close_server(server: socket.socket) -> None:
+        server.close()
+
+    def send(self, msg_type: int, payload: bytes = b"") -> None:
+        self.sock.sendall(struct.pack("<IB", len(payload), msg_type) + payload)
+
+    def _read_exact(self, n: int, first_timeout_ms: int) -> bytes | None:
+        chunks = b""
+        self.sock.settimeout(None if first_timeout_ms < 0 else first_timeout_ms / 1e3)
+        while len(chunks) < n:
+            try:
+                c = self.sock.recv(n - len(chunks))
+            except socket.timeout:
+                if not chunks:
+                    return None
+                raise ConnectionError("timeout mid-frame")
+            if not c:
+                if not chunks and n > 0:
+                    raise ConnectionResetError("peer closed")
+                raise ConnectionError("peer closed mid-frame")
+            chunks += c
+            self.sock.settimeout(None)
+        return chunks
+
+    def recv(self, timeout_ms: int = -1) -> tuple[int, bytes] | None:
+        hdr = self._read_exact(5, timeout_ms)
+        if hdr is None:
+            return None
+        length, typ = struct.unpack("<IB", hdr)
+        payload = self._read_exact(length, -1) if length else b""
+        return typ, payload
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+def get_transport(kind: str = "auto"):
+    """Select the transport implementation: 'native', 'python', or 'auto'."""
+    if kind == "python":
+        return PyMsgTransport
+    if kind == "native" or (kind == "auto" and native.available()):
+        return native.MsgTransport
+    return PyMsgTransport
+
+
+def _pack_block(step: int, block: np.ndarray | None) -> bytes:
+    hdr = struct.pack("<I", step)
+    if block is None:
+        return hdr
+    return hdr + np.ascontiguousarray(block, np.complex64).tobytes()
+
+
+def _unpack_block(payload: bytes) -> tuple[int, np.ndarray | None]:
+    (step,) = struct.unpack("<I", payload[:4])
+    if len(payload) == 4:
+        return step, None
+    return step, np.frombuffer(payload[4:], np.complex64)
+
+
+def _json(obj: Any) -> bytes:
+    return json.dumps(obj).encode()
+
+
+class NetController:
+    """Controller process: scenario server + medium hub.
+
+    ``launch='local'`` spawns node client subprocesses; ``launch='manual'``
+    only listens (the reference's ``-m`` manual mode,
+    src/crts_controller.cpp:221, where operators start nodes by hand —
+    possibly on other hosts pointing ``-a`` at this controller).
+    """
+
+    def __init__(
+        self,
+        cfg: ScenarioConfig,
+        *,
+        port: int = CRTS_TCP_CONTROL_PORT,
+        transport: str = "auto",
+        launch: str = "local",
+        start_pad_s: float = 0.25,
+        log_sink: LogSink | None = None,
+    ):
+        self.cfg = cfg
+        self.port = port
+        self.tcls = get_transport(transport)
+        self.transport_kind = transport
+        self.launch = launch
+        self.start_pad_s = start_pad_s
+        self.log = log_sink or LogSink()
+        self.mcfg = MediumConfig(
+            sample_rate_hz=cfg.medium_rate,
+            center_hz=cfg.medium_center,
+            block_len=cfg.medium_block_len,
+            noise_power=cfg.medium_noise_power,
+            seed=cfg.seed,
+        )
+        self.medium = Medium(self.mcfg, len(cfg.nodes))
+        self.sc = create_controller(
+            cfg.scenario_controller, cfg.sc_args.split() if cfg.sc_args else []
+        )
+        self.sc.runtime = self
+        self.sc.sc_timeout_ms = cfg.sc_timeout_ms
+        self.conns: list[Any] = []
+        self.procs: list[subprocess.Popen] = []
+        self.t = 0.0
+        self.summaries: dict[int, dict] = {}
+        self.terminated = False
+
+    # SC control channel (set_node_parameter -> CRTS_MSG_CONTROL,
+    # src/scenario_controller.cpp:13-28)
+    def apply_control(self, node_idx: int, param: CrtsParam, value) -> None:
+        if param is CrtsParam.FB_EN:
+            self.sc.enable_feedback(node_idx, int(value))
+        self.conns[node_idx].send(
+            Msg.CONTROL, _json({"param": param.value, "value": value})
+        )
+
+    def _launch_nodes(self) -> None:
+        if self.launch != "local":
+            return
+        for i in range(len(self.cfg.nodes)):
+            self.procs.append(
+                subprocess.Popen(
+                    [
+                        sys.executable,
+                        "-m",
+                        "cognitive_radio_network_tpu",
+                        "node",
+                        "-a",
+                        "127.0.0.1",
+                        "-p",
+                        str(self.port),
+                        "--transport",
+                        self.transport_kind,
+                    ],
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.PIPE,
+                )
+            )
+
+    def _handle_feedback(self, payload: bytes) -> None:
+        d = json.loads(payload)
+        self.sc.receive_feedback(
+            Feedback(d["node"], CrtsParam(d["param"]), d["value"], d["time_s"])
+        )
+
+    def _node_stderr_tail(self) -> str:
+        """Diagnostics from dead node processes (failure detection — the
+        reference controller notices disconnects, src/crts_controller.cpp:43-54,
+        but discards the remote stderr; we surface it)."""
+        out = []
+        for i, p in enumerate(self.procs):
+            if p.poll() is not None and p.stderr is not None:
+                tail = p.stderr.read().decode(errors="replace")[-2000:]
+                if tail.strip():
+                    out.append(f"--- node {i} (rc={p.returncode}) stderr ---\n{tail}")
+        return "\n".join(out)
+
+    def run(self, rep: int = 1) -> ScenarioSummary:
+        cfg = self.cfg
+        srv = self.tcls.listen(self.port)
+        try:
+            self._launch_nodes()
+            # accept + parameter push (src/crts_controller.cpp:430-473)
+            for i in range(len(cfg.nodes)):
+                conn = self.tcls.accept(srv, 30000)
+                if conn is None:
+                    raise TimeoutError(f"node {i} did not connect")
+                self.conns.append(conn)
+            scenario_d = dataclasses.asdict(cfg)
+            for i, conn in enumerate(self.conns):
+                conn.send(
+                    Msg.SCENARIO_PARAMETERS,
+                    _json({"node_index": i, "scenario": scenario_d}),
+                )
+            self.sc.initialize_node_fb()
+            # synchronized start (start_time_s = now + pad, :487-509)
+            start_time = time.time() + self.start_pad_s
+            for conn in self.conns:
+                conn.send(Msg.START, _json({"start_time": start_time}))
+            while time.time() < start_time:
+                time.sleep(0.001)
+            # lockstep main loop: one medium block per step; step count
+            # matches ScenarioRuntime's `while t < run_time` semantics
+            num_steps = math.ceil(cfg.run_time / self.mcfg.block_dt - 1e-9)
+            last_sc_t = 0.0
+            wall_start = time.monotonic()
+            for step in range(num_steps):
+                if self.terminated:
+                    break
+                contributions: list[np.ndarray | None] = [None] * len(self.conns)
+                for i, conn in enumerate(self.conns):
+                    while True:
+                        try:
+                            typ, payload = conn.recv(30000) or (None, b"")
+                        except (ConnectionError, OSError) as e:
+                            raise ConnectionError(
+                                f"node {i} died at step {step}: {e}\n"
+                                + self._node_stderr_tail()
+                            ) from e
+                        if typ is None:
+                            raise TimeoutError(
+                                f"node {i} stalled at step {step}\n"
+                                + self._node_stderr_tail()
+                            )
+                        if typ == Msg.TX_BLOCK:
+                            got_step, block = _unpack_block(payload)
+                            assert got_step == step, (got_step, step)
+                            contributions[i] = block
+                            break
+                        if typ == Msg.FEEDBACK:
+                            self._handle_feedback(payload)
+                        elif typ == Msg.TERMINATE:  # node-initiated abort
+                            self.terminated = True
+                            break
+                if self.terminated:
+                    break
+                blocks = self.medium.propagate(contributions)
+                for conn, block in zip(self.conns, blocks):
+                    conn.send(Msg.RX_BLOCK, _pack_block(step, block))
+                self.t += self.mcfg.block_dt
+                if (self.t - last_sc_t) * 1e3 >= self.sc.sc_timeout_ms:
+                    self.sc.timeout()
+                    last_sc_t = self.t
+                if (
+                    cfg.max_wall_time_s is not None
+                    and time.monotonic() - wall_start > cfg.max_wall_time_s
+                ):
+                    self.terminated = True
+            # termination + summary collection (:958-967 node side)
+            for conn in self.conns:
+                try:
+                    conn.send(Msg.TERMINATE)
+                except (ConnectionError, OSError):
+                    pass  # node already finished and sent its summary
+            for i, conn in enumerate(self.conns):
+                deadline = time.time() + 30.0
+                while i not in self.summaries and time.time() < deadline:
+                    try:
+                        msg = conn.recv(5000)
+                    except (ConnectionError, OSError):
+                        break
+                    if msg is None:
+                        continue
+                    typ, payload = msg
+                    if typ == Msg.SUMMARY:
+                        self.summaries[i] = json.loads(payload)
+                    elif typ == Msg.FEEDBACK:
+                        self._handle_feedback(payload)
+        finally:
+            for conn in self.conns:
+                try:
+                    conn.close()
+                except Exception:
+                    pass
+            self.tcls.close_server(srv)
+            # forceful termination of the exact PIDs we spawned
+            # (the reference's ssh kill -9, src/crts_controller.cpp:567-577)
+            for p in self.procs:
+                try:
+                    p.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    p.kill()
+        n = len(cfg.nodes)
+        empty = {"bytes_sent": 0, "bytes_received": 0, "frames": 0, "valid": 0}
+        s = [self.summaries.get(i, empty) for i in range(n)]
+        return ScenarioSummary(
+            cfg.name,
+            rep,
+            [x["bytes_sent"] for x in s],
+            [x["bytes_received"] for x in s],
+            [x["frames"] for x in s],
+            [x["valid"] for x in s],
+        )
+
+
+def run_node_client(
+    host: str,
+    port: int = CRTS_TCP_CONTROL_PORT,
+    transport: str = "auto",
+) -> int:
+    """Node process main (src/crts_cognitive_radio.cpp:507-968 /
+    src/crts_interferer.cpp:314-420 merged: the node type comes from the
+    pushed config)."""
+    tcls = get_transport(transport)
+    conn = tcls.connect(host, port, 30000)
+    try:
+        typ, payload = conn.recv(30000) or (None, b"")
+        if typ != Msg.SCENARIO_PARAMETERS:
+            raise RuntimeError(f"expected SCENARIO_PARAMETERS, got {typ}")
+        d = json.loads(payload)
+        idx = d["node_index"]
+        cfg = _scenario_from_asdict(d["scenario"])
+        mcfg = MediumConfig(
+            sample_rate_hz=cfg.medium_rate,
+            center_hz=cfg.medium_center,
+            block_len=cfg.medium_block_len,
+            noise_power=cfg.medium_noise_power,
+            seed=cfg.seed,
+        )
+        sink = LogSink()
+        node = build_node(idx, cfg.nodes[idx], mcfg, sink)
+        fb_mask = 0
+        last_fb: dict[CrtsParam, Any] = {}
+        last_stats_t = -1e9
+
+        def on_fb_en(mask: int) -> None:
+            nonlocal fb_mask
+            fb_mask = mask
+
+        # wait for synchronized start, servicing control msgs meanwhile
+        # (the reference busy-waits on wall clock while still applying
+        # controls, src/crts_cognitive_radio.cpp:793-805)
+        while True:
+            typ, payload = conn.recv(60000) or (None, b"")
+            if typ == Msg.START:
+                break
+            if typ == Msg.CONTROL:
+                c = json.loads(payload)
+                apply_node_control(
+                    node, CrtsParam(c["param"]), c["value"], on_fb_en=on_fb_en
+                )
+            elif typ == Msg.TERMINATE:
+                return 0
+            else:
+                raise RuntimeError(f"expected START, got {typ}")
+        start_time = json.loads(payload)["start_time"]
+        while time.time() < start_time:
+            time.sleep(0.001)
+        node.start()
+
+        def send_feedback(t: float) -> None:
+            nonlocal last_stats_t
+            if isinstance(node, InterfererNode) or not hasattr(node, "radio"):
+                return
+            for param, getter in FB_GETTERS.items():
+                if not (fb_mask >> param.value) & 1:
+                    continue
+                val = getter(node.radio)
+                if last_fb.get(param) != val:
+                    last_fb[param] = val
+                    conn.send(
+                        Msg.FEEDBACK,
+                        _json(
+                            {"node": idx, "param": param.value, "value": val, "time_s": t}
+                        ),
+                    )
+            if (fb_mask >> CrtsParam.RX_STATS.value) & 1:
+                period = node.radio.rx_stat_fb_period_s or 1.0
+                if t - last_stats_t >= period:
+                    last_stats_t = t
+                    stats = dataclasses.asdict(node.radio.get_rx_stats(t))
+                    conn.send(
+                        Msg.FEEDBACK,
+                        _json(
+                            {
+                                "node": idx,
+                                "param": CrtsParam.RX_STATS.value,
+                                "value": stats,
+                                "time_s": t,
+                            }
+                        ),
+                    )
+
+        t = 0.0
+        step = 0
+        terminated = False
+        # same step count as the controller (and as ScenarioRuntime's
+        # `while t < run_time`), so traffic accounting is identical
+        num_steps = math.ceil(cfg.run_time / mcfg.block_dt - 1e-9)
+        while not terminated and step < num_steps:
+            node.poll_traffic(t)
+            contribution = node.pull_tx_block(mcfg.block_len)
+            conn.send(Msg.TX_BLOCK, _pack_block(step, contribution))
+            while True:
+                msg = conn.recv(30000)
+                if msg is None:
+                    raise TimeoutError(f"controller stalled at step {step}")
+                typ, payload = msg
+                if typ == Msg.RX_BLOCK:
+                    _, block = _unpack_block(payload)
+                    break
+                if typ == Msg.CONTROL:
+                    c = json.loads(payload)
+                    apply_node_control(
+                        node, CrtsParam(c["param"]), c["value"], on_fb_en=on_fb_en
+                    )
+                elif typ == Msg.TERMINATE:
+                    terminated = True
+                    block = None
+                    break
+            if terminated:
+                break
+            if block is not None:
+                node.push_rx_block(block, t)
+            node.run_ce(t)
+            node.drain_rx_packets(t)
+            send_feedback(t)
+            t += mcfg.block_dt
+            step += 1
+        # end-of-run summary (CRTS_MSG_SUMMARY, :958-967)
+        if isinstance(node, RadioNode):
+            sent = node.traffic.packet_num * 256
+            rcvd = sum(len(p) for (_, _, p) in node.rx_packets)
+            st = node.radio.stats
+            summary = {
+                "bytes_sent": sent,
+                "bytes_received": rcvd,
+                "frames": len(st.records),
+                "valid": sum(1 for r in st.records if r.valid),
+            }
+        else:
+            summary = {"bytes_sent": 0, "bytes_received": 0, "frames": 0, "valid": 0}
+        conn.send(Msg.SUMMARY, _json(summary))
+        return 0
+    finally:
+        conn.close()
+
+
+def _scenario_from_asdict(d: dict) -> ScenarioConfig:
+    """Rebuild a ScenarioConfig from dataclasses.asdict output."""
+    from cognitive_radio_network_tpu.runtime.config import NodeConfig
+
+    nodes = [NodeConfig(**nd) for nd in d.pop("nodes")]
+    cfg = ScenarioConfig(**d)
+    cfg.nodes = nodes
+    return cfg

@@ -1,0 +1,202 @@
+"""Multi-process networked scenario runtime (runtime/netctl.py).
+
+Covers: wire-format interop between the native C++ transport and the pure-
+Python transport; the full controller <-> node-process protocol
+(SCENARIO_PARAMETERS -> START -> lockstep TX/RX blocks -> CONTROL/FEEDBACK
+-> TERMINATE -> SUMMARY) with real OS subprocesses; and equivalence of the
+distributed run against the in-process ScenarioRuntime on the same scenario
+(the medium is seeded, steps are lockstep, so traffic accounting matches).
+"""
+
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from cognitive_radio_network_tpu import native
+from cognitive_radio_network_tpu.runtime import (
+    NodeConfig,
+    ScenarioConfig,
+    ScenarioRuntime,
+)
+from cognitive_radio_network_tpu.runtime.netctl import (
+    Msg,
+    NetController,
+    PyMsgTransport,
+    _pack_block,
+    _unpack_block,
+)
+
+
+def _two_node_scenario(run_time=0.1):
+    """Two OFDM radios on an FDD link over the medium (the known-good link
+    shape from test_runtime.py), small enough for subprocess tests."""
+    common = dict(
+        cognitive_engine="CE_Template",
+        ce_timeout_ms=1000.0,
+        net_mean_throughput=200e3,
+        tx_rate=1e6,
+        rx_rate=1e6,
+        tx_gain=20.0,
+        rx_gain=20.0,
+        tx_gain_soft=-6.0,
+    )
+    return ScenarioConfig(
+        num_nodes=2,
+        run_time=run_time,
+        nodes=[
+            NodeConfig(tx_freq=464e6, rx_freq=466e6, **common),
+            NodeConfig(tx_freq=466e6, rx_freq=464e6, **common),
+        ],
+        medium_rate=4e6,
+        medium_center=465e6,
+        medium_block_len=16384,
+        medium_noise_power=1e-7,
+        seed=3,
+        name="netctl_test",
+    )
+
+
+class TestBlockPacking:
+    def test_roundtrip(self, rng):
+        block = (rng.standard_normal(256) + 1j * rng.standard_normal(256)).astype(
+            np.complex64
+        )
+        step, out = _unpack_block(_pack_block(7, block))
+        assert step == 7
+        np.testing.assert_array_equal(out, block)
+
+    def test_none_block(self):
+        step, out = _unpack_block(_pack_block(3, None))
+        assert step == 3 and out is None
+
+
+class TestTransportInterop:
+    """Native C++ endpoint on one side, pure-Python on the other —
+    same wire format."""
+
+    @pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+    def test_python_client_native_server(self):
+        srv = native.MsgTransport.listen(47201)
+        got = {}
+
+        def server():
+            conn = native.MsgTransport.accept(srv, 5000)
+            got["msg"] = conn.recv(5000)
+            conn.send(Msg.CONTROL, json.dumps({"param": 1, "value": 2.5}).encode())
+            conn.close()
+
+        t = threading.Thread(target=server)
+        t.start()
+        cli = PyMsgTransport.connect("127.0.0.1", 47201, 5000)
+        cli.send(Msg.FEEDBACK, b'{"node": 0}')
+        typ, payload = cli.recv(5000)
+        t.join(10)
+        assert got["msg"] == (Msg.FEEDBACK, b'{"node": 0}')
+        assert typ == Msg.CONTROL and json.loads(payload)["value"] == 2.5
+        cli.close()
+        native.MsgTransport.close_server(srv)
+
+    @pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+    def test_native_client_python_server(self):
+        srv = PyMsgTransport.listen(47202)
+        got = {}
+
+        def server():
+            conn = PyMsgTransport.accept(srv, 5000)
+            got["msg"] = conn.recv(5000)
+            conn.send(9, b"\x00\x01\x02")
+            conn.close()
+
+        t = threading.Thread(target=server)
+        t.start()
+        cli = native.MsgTransport.connect("127.0.0.1", 47202, 5000)
+        cli.send(Msg.TX_BLOCK, _pack_block(0, None))
+        typ, payload = cli.recv(5000)
+        t.join(10)
+        assert got["msg"] == (Msg.TX_BLOCK, _pack_block(0, None))
+        assert (typ, payload) == (9, b"\x00\x01\x02")
+        cli.close()
+        PyMsgTransport.close_server(srv)
+
+    def test_python_python_roundtrip(self):
+        srv = PyMsgTransport.listen(47203)
+        got = {}
+
+        def server():
+            conn = PyMsgTransport.accept(srv, 5000)
+            got["a"] = conn.recv(5000)
+            got["none"] = conn.recv(50)  # timeout -> None
+            conn.close()
+
+        t = threading.Thread(target=server)
+        t.start()
+        cli = PyMsgTransport.connect("127.0.0.1", 47203, 5000)
+        cli.send(Msg.START, b"{}")
+        t.join(10)
+        assert got["a"] == (Msg.START, b"{}")
+        assert got["none"] is None
+        cli.close()
+        PyMsgTransport.close_server(srv)
+
+
+@pytest.mark.slow
+class TestDistributedScenario:
+    """Full star-topology run with real node subprocesses."""
+
+    def _run(self, transport, port):
+        cfg = _two_node_scenario()
+        ctl = NetController(cfg, port=port, transport=transport, start_pad_s=0.1)
+        return ctl.run(), ctl
+
+    def test_distributed_run_matches_inprocess(self):
+        cfg = _two_node_scenario()
+        inproc = ScenarioRuntime(cfg).run()
+        dist, ctl = self._run("python", 47310)
+        # same seeded medium + lockstep stepping -> identical traffic totals
+        assert dist.bytes_sent == inproc.bytes_sent
+        assert dist.frames_received == inproc.frames_received
+        assert dist.valid_frames == inproc.valid_frames
+        assert sum(dist.valid_frames) > 0, "no frames crossed the medium"
+
+    @pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+    def test_distributed_run_native_transport(self):
+        dist, ctl = self._run("native", 47311)
+        assert sum(dist.valid_frames) > 0
+        assert all(b > 0 for b in dist.bytes_sent)
+
+    def test_sc_control_reaches_nodes(self):
+        """An SC that retunes node 0 mid-run over CRTS_MSG_CONTROL and
+        enables feedback; the controller must receive TX_FREQ feedback."""
+        from cognitive_radio_network_tpu.runtime.engine import register_controller
+        from cognitive_radio_network_tpu.runtime.scenario import (
+            CrtsParam,
+            ScenarioController,
+        )
+
+        feedback_log = []
+
+        @register_controller("SC_NetctlTest")
+        class SC_NetctlTest(ScenarioController):
+            def initialize_node_fb(self):
+                # enable TX_FREQ feedback on node 0
+                self.set_node_parameter(0, CrtsParam.FB_EN, 1 << CrtsParam.TX_FREQ.value)
+                self._retuned = False
+
+            def execute(self):
+                if self.fb is not None:
+                    feedback_log.append((self.fb.node, self.fb.param, self.fb.value))
+                if not self._retuned:
+                    self._retuned = True
+                    self.set_node_parameter(0, CrtsParam.TX_FREQ, 837e6)
+
+        cfg = _two_node_scenario(run_time=0.05)
+        cfg.scenario_controller = "SC_NetctlTest"
+        cfg.sc_timeout_ms = 0.1
+        ctl = NetController(cfg, port=47312, transport="python", start_pad_s=0.1)
+        ctl.run()
+        tx_freq_fbs = [
+            v for (n, p, v) in feedback_log if n == 0 and p is CrtsParam.TX_FREQ
+        ]
+        assert 837e6 in tx_freq_fbs, f"feedback log: {feedback_log}"
