@@ -82,10 +82,11 @@ def main(argv=None) -> int:
     wp.add_argument("spectrum_args", nargs=argparse.REMAINDER)
 
     xp = sub.add_parser(
-        "export", help="convert saved npz run logs to Octave .m (the "
+        "export", help="convert saved run logs (.npz, or a .crnl binary "
+        "log / directory of them) to Octave .m (the "
         "convert_logs_bin_to_octave equivalent)"
     )
-    xp.add_argument("npz")
+    xp.add_argument("path")
     xp.add_argument("-o", "--out", required=True)
 
     args = ap.parse_args(argv)
@@ -120,17 +121,32 @@ def main(argv=None) -> int:
         import numpy as np
         from pathlib import Path
 
-        data = np.load(args.npz, allow_pickle=True)
+        src = Path(args.path)
+        columns: dict[str, "np.ndarray"] = {}
+        if src.is_dir() or src.suffix == ".crnl":
+            from cognitive_radio_network_tpu.runtime.logging import (
+                read_binlog,
+                read_binlog_dir,
+            )
+
+            streams = (
+                read_binlog_dir(src)
+                if src.is_dir()
+                else dict([read_binlog(src)])
+            )
+            for stream, recs in streams.items():
+                if not recs:
+                    continue
+                for k in recs[0]:
+                    columns[f"{stream}_{k}"] = np.array([r[k] for r in recs])
+        else:
+            data = np.load(src, allow_pickle=True)
+            for key in data.files:
+                columns[key.replace(".", "_")] = data[key]
         lines = []
-        for key in data.files:
-            var = key.replace(".", "_")
-            v = data[key]
+        for var, v in columns.items():
             if v.dtype.kind in "OU":
-                lines.append(
-                    f"{var} = {{{', '.join(repr(str(x)) for x in v)}}};".replace(
-                        "'", "'"
-                    )
-                )
+                lines.append(f"{var} = {{{', '.join(repr(str(x)) for x in v)}}};")
             else:
                 vals = ", ".join(str(x) for x in np.asarray(v, float))
                 lines.append(f"{var} = [{vals}];")

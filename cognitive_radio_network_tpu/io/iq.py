@@ -105,3 +105,29 @@ class IQReader:
             if b is None or len(b) < block_len:
                 return
             yield b
+
+    def prefetch_blocks(
+        self, block_len: int, *, depth: int = 8, loop: bool = False
+    ):
+        """Like :meth:`blocks`, but through the native prefetching stream
+        (mmap + slab ring + background reader thread, native/src/iq_stream.cpp)
+        when the C++ library is available, so the consumer — typically the
+        host loop feeding the TPU — never blocks on file I/O.  Falls back to
+        the synchronous Python reader.  Keeps ``self.cursor`` resumable."""
+        from cognitive_radio_network_tpu import native
+
+        if not native.available():
+            if loop:
+                raise NotImplementedError("loop=True requires the native stream")
+            yield from self.blocks(block_len)
+            return
+        with native.NativeIQStream(
+            self.path,
+            block_len,
+            depth=depth,
+            start_sample=self.cursor.sample_index,
+            loop=loop,
+        ) as s:
+            for b in s.blocks():
+                self.cursor.sample_index = s.cursor
+                yield b

@@ -232,3 +232,97 @@ class TestPacketEngine:
         assert native.bit_errors(a, b) == 100
         expected = int(np.unpackbits(a ^ b).sum())
         assert native.bit_errors(a, b) == expected
+
+
+# ---------------- framework integration ----------------
+
+
+class TestLogSinkSpill:
+    def test_scenario_spill_and_readback(self, tmp_path):
+        """Run a scenario with binary spill enabled; the .crnl streams must
+        reproduce the in-memory records, and the export CLI must convert
+        them to Octave."""
+        from cognitive_radio_network_tpu.runtime import ScenarioRuntime
+        from cognitive_radio_network_tpu.runtime.logging import (
+            LogSink,
+            read_binlog_dir,
+        )
+        from tests.test_runtime import _link_scenario
+
+        sink = LogSink(spill_dir=tmp_path)
+        rt = ScenarioRuntime(_link_scenario(run_time=0.05), sink)
+        rt.run()
+        sink.close()
+        assert len(sink.phy_tx) > 0 and len(sink.net_tx) > 0
+        streams = read_binlog_dir(tmp_path)
+        assert len(streams["phy_tx"]) == len(sink.phy_tx)
+        assert len(streams["net_tx"]) == len(sink.net_tx)
+        for mem, disk in zip(sink.phy_tx, streams["phy_tx"]):
+            assert disk["node"] == mem["node"]
+            assert disk["frame_num"] == mem["frame_num"]
+            assert disk["tx_freq"] == mem["tx_freq"]
+            assert disk["tx_modulation"] == mem["tx_modulation"]
+        for mem, disk in zip(sink.net_tx, streams["net_tx"]):
+            assert disk["packet_num"] == mem["packet_num"]
+            assert abs(disk["t"] - mem["t"]) < 1e-12
+
+        from cognitive_radio_network_tpu.__main__ import main as cli_main
+
+        out = tmp_path / "run.m"
+        assert cli_main(["export", str(tmp_path), "-o", str(out)]) == 0
+        text = out.read_text()
+        assert "phy_tx_tx_freq = [" in text
+        assert "net_tx_packet_num = [" in text
+
+    def test_phy_rx_roundtrip_strings(self, tmp_path):
+        """String fields (mod/crc/fec names) survive the packed layout."""
+        from cognitive_radio_network_tpu.runtime.logging import (
+            BINLOG_SCHEMAS,
+            LogSink,
+            _pack_record,
+            read_binlog,
+        )
+
+        sink = LogSink(spill_dir=tmp_path)
+        rec = {
+            "node": 2,
+            "t": 1.25,
+            "frame_num": 77,
+            "frame_type": 1,
+            "header_valid": 1,
+            "payload_valid": 0,
+            "evm_dB": -22.5,
+            "rssi_dB": -40.0,
+            "cfo": 0.001,
+            "num_framesyms": 9,
+            "mod_scheme": "qam16",
+            "crc": "crc32",
+            "fec0": "h128",
+            "fec1": "v27",
+        }
+        sink._spill("phy_rx", rec)
+        sink.close()
+        stream, recs = read_binlog(tmp_path / "phy_rx.crnl")
+        assert stream == "phy_rx"
+        got = recs[0]
+        assert got["mod_scheme"] == "qam16"
+        assert got["fec1"] == "v27"
+        assert got["frame_num"] == 77
+        assert abs(got["evm_dB"] - -22.5) < 1e-6
+
+
+class TestIQPrefetchIntegration:
+    def test_prefetch_blocks_resumable(self, tmp_path):
+        from cognitive_radio_network_tpu.io.iq import IQReader
+
+        path, data = _write_capture(tmp_path, 4096, seed=11)
+        r = IQReader(path)
+        it = r.prefetch_blocks(512)
+        first = [next(it), next(it)]
+        it.close()
+        assert r.cursor.sample_index == 1024
+        np.testing.assert_array_equal(np.concatenate(first), data[:1024])
+        # resume from the saved cursor
+        rest = list(IQReader(path, r.cursor).prefetch_blocks(512))
+        assert len(rest) == 6
+        np.testing.assert_array_equal(np.concatenate(rest), data[1024:])
