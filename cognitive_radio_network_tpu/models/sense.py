@@ -51,7 +51,15 @@ class SenseConfig:
     sample_rate_hz: float = 13e6
     center_hz: float = 833e6
     sensing_delay_ms: float = 100.0
-    fft_mode: str = "dft_matmul"  # "dft_matmul" (MXU) or "xla" (jnp.fft)
+    # "ct_matmul": Cooley-Tukey N1 x 128 factored DFT (radix-N1 VPU stage +
+    # full-tile 128-pt MXU matmuls, ~4x fewer MXU flops — default);
+    # "dft_matmul": dense (N, N) DFT matmul; "xla": jnp.fft.
+    fft_mode: str = "ct_matmul"
+    # On TPU backends the ct_matmul spectrum+bands chain runs as one fused
+    # VMEM-resident Pallas kernel (ops/fused_sense_ct.py) — the pure-XLA
+    # factorization materializes every stage in HBM and is slower than the
+    # dense matmul. None = auto (TPU only); False forces the XLA graph.
+    use_fused_kernel: bool | None = None
     # "highest" = true f32 matmuls (strict bit-match mode); "high" = bf16_3x
     # (~5e-5 rel err, ~1.5x faster, default); "default" = bf16 (fastest).
     precision: str = "high"
@@ -66,20 +74,50 @@ def sense_classify(
 ):
     """Batched sense->classify over C cycles.
 
-    iq: complex64 (C, A, N) — or the canonical float32 IQ planes
-    (C, A, N, 2) / any flat shape reshapeable to them. Returns dict of
+    iq: planar tuple (xr, xi) each (C, A, N) — the preferred zero-relayout
+    layout (see signal/iq.py) — or complex64 (C, A, N), or interleaved
+    float32 planes (C, A, N, 2) / any flat shape reshapeable to them
+    (planes cost a strided de-interleave on TPU). Returns dict of
     per-cycle arrays:
       avg_spectrum (C, N), features (C, 4), outputs (C, 3), decision (C,).
     """
     n, a = cfg.fft_length, cfg.averaging
-    if jnp.iscomplexobj(iq):
+    if isinstance(iq, (tuple, list)):  # planar (xr, xi) — the fast path
+        # keep buffers-flat 2D: reshaping to (C, A, N) on TPU is a physical
+        # relayout (A=10 tile-pads to 16) costing as much as the kernel
+        blocks = tuple(jnp.asarray(v, jnp.float32).reshape(-1, n) for v in iq)
+    elif jnp.iscomplexobj(iq):
         blocks = iq.reshape(-1, a, n)
     else:
         blocks = iq.reshape(-1, a, n, 2)
-    avg = fft_mod.averaged_magnitude_spectrum(
-        blocks, averaging=a, mode=cfg.fft_mode, precision=cfg.precision
-    )
-    feats = bands_mod.band_features(avg, cfg.bands)
+    use_fused = cfg.use_fused_kernel
+    if use_fused is None:
+        use_fused = (
+            cfg.fft_mode == "ct_matmul"
+            and n == 512
+            and jax.default_backend() not in ("cpu", "gpu")
+        )
+    if use_fused:
+        from cognitive_radio_network_tpu.ops.fused_sense_ct import fused_sense_ct
+
+        if not isinstance(blocks, tuple) and jnp.iscomplexobj(blocks):
+            blocks = (
+                jnp.real(blocks).astype(jnp.float32),
+                jnp.imag(blocks).astype(jnp.float32),
+            )
+        avg, feats = fused_sense_ct(
+            blocks, averaging=a, bands=cfg.bands, precision=cfg.precision
+        )
+    else:
+        if isinstance(blocks, tuple):
+            # planar -> planes for the XLA path (non-hot fallback)
+            blocks = jnp.stack(
+                [v.reshape(-1, a, n) for v in blocks], axis=-1
+            )
+        avg = fft_mod.averaged_magnitude_spectrum(
+            blocks, averaging=a, mode=cfg.fft_mode, precision=cfg.precision
+        )
+        feats = bands_mod.band_features(avg, cfg.bands)
     from cognitive_radio_network_tpu.signal.mlp import mlp_forward
 
     outs = mlp_forward(params, feats)

@@ -61,6 +61,8 @@ def _bind(lib: ctypes.CDLL) -> None:
     ]
     lib.crn_iq_next.restype = ctypes.c_int64
     lib.crn_iq_next.argtypes = [ctypes.c_void_p, f32p]
+    lib.crn_iq_next_planar.restype = ctypes.c_int64
+    lib.crn_iq_next_planar.argtypes = [ctypes.c_void_p, f32p, f32p]
     lib.crn_iq_cursor.restype = ctypes.c_uint64
     lib.crn_iq_cursor.argtypes = [ctypes.c_void_p]
     lib.crn_iq_num_samples.restype = ctypes.c_uint64
@@ -222,9 +224,29 @@ class NativeIQStream:
             return None
         return out
 
+    def next_planar(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """Next block as a planar (xr, xi) pair — the framework's preferred
+        device layout (signal/iq.py); de-interleaved on the prefetch thread."""
+        f32p = ctypes.POINTER(ctypes.c_float)
+        out_i = np.empty(self.block_samples, np.float32)
+        out_q = np.empty(self.block_samples, np.float32)
+        n = self._lib.crn_iq_next_planar(
+            self._h, out_i.ctypes.data_as(f32p), out_q.ctypes.data_as(f32p)
+        )
+        if n <= 0:
+            return None
+        return out_i, out_q
+
     def blocks(self):
         while True:
             b = self.next_block()
+            if b is None:
+                return
+            yield b
+
+    def planar_blocks(self):
+        while True:
+            b = self.next_planar()
             if b is None:
                 return
             yield b

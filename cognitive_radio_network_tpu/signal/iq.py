@@ -1,17 +1,27 @@
 """Canonical IQ representations.
 
-The framework's on-device IQ format is **float32 I/Q planes**: shape
-``(..., N, 2)`` with the last axis = [I, Q].  Rationale (TPU-first):
+The framework's on-device IQ formats are **float32 real pairs** in one of
+two layouts:
 
-* TPUs have no complex ALU — XLA decomposes complex math into real pairs
-  anyway; planes make the layout explicit and keep the lane dimension real;
-* it unlocks reduced-precision storage (bf16 IQ) and clean Pallas tiling;
-* complex64 arrays at jit boundaries are a portability hazard (some PJRT
-  backends — including the tunneled TPU used in CI here — cannot transfer
-  complex buffers device<->host).
+* **planar** (preferred for the hot path): a ``(xr, xi)`` tuple of separate
+  I and Q arrays, each ``(..., N)``.  I and Q live in distinct contiguous
+  buffers, so kernels consume them with zero relayout cost.
+* **interleaved planes**: one array ``(..., N, 2)`` with the last axis
+  = [I, Q] (matches the de-facto interleaved SDR capture layout).
+  De-interleaving on TPU is a strided HBM transpose costing roughly as much
+  as the whole fused sense kernel — convert once on ingest (the native IQ
+  loader de-interleaves on its CPU prefetch thread,
+  native/src/iq_stream.cpp) or synthesize planar directly.
+
+Rationale for real pairs at all (TPU-first): TPUs have no complex ALU — XLA
+decomposes complex math into real pairs anyway; explicit planes keep the
+lane dimension real, unlock reduced-precision storage (bf16 IQ), and avoid
+complex64 at jit boundaries (a portability hazard: some PJRT backends —
+including the tunneled TPU used in CI here — cannot transfer complex
+buffers device<->host).
 
 Complex arrays remain accepted at every public entry point for convenience
-(tests, CPU analysis); ``split_iq`` normalizes either form to an (I, Q) pair.
+(tests, CPU analysis); ``split_iq`` normalizes any form to an (I, Q) pair.
 """
 
 from __future__ import annotations
@@ -20,18 +30,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["split_iq", "to_planes", "from_planes", "planes_abs2"]
+__all__ = ["split_iq", "to_planes", "to_planar", "from_planes", "planes_abs2"]
 
 
-def split_iq(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Normalize complex (..., N) or planes (..., N, 2) to (re, im) each (..., N)."""
+def split_iq(x) -> tuple[jax.Array, jax.Array]:
+    """Normalize complex (..., N), planes (..., N, 2), or a planar
+    ``(xr, xi)`` tuple to (re, im), each (..., N)."""
+    if isinstance(x, (tuple, list)):
+        xr, xi = x
+        return jnp.asarray(xr, jnp.float32), jnp.asarray(xi, jnp.float32)
     if jnp.iscomplexobj(x):
         return jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)
     if x.shape[-1] == 2:
         return x[..., 0].astype(jnp.float32), x[..., 1].astype(jnp.float32)
     raise ValueError(
-        f"IQ input must be complex or (..., 2) planes; got {x.dtype} {x.shape}"
+        f"IQ input must be complex, (..., 2) planes, or an (xr, xi) tuple; "
+        f"got {getattr(x, 'dtype', type(x))} {getattr(x, 'shape', '')}"
     )
+
+
+def to_planar(x) -> tuple[jax.Array, jax.Array]:
+    """Any IQ form -> planar (xr, xi) tuple (alias of split_iq)."""
+    return split_iq(x)
 
 
 def to_planes(x) -> jax.Array:

@@ -54,10 +54,15 @@ typedef struct crn_iq_stream crn_iq_stream;
 crn_iq_stream *crn_iq_open(const char *path, uint64_t block_samples,
                            uint32_t depth, uint64_t start_sample, int loop);
 
-/* Copy the next block into out (block_samples * 2 floats).  Returns the
- * number of samples written (== block_samples), 0 at end of stream, or
- * -1 on error.  Blocks until the prefetcher has data. */
+/* Copy the next block into out (block_samples * 2 floats, interleaved).
+ * Returns the number of samples written (== block_samples), 0 at end of
+ * stream, or -1 on error.  Blocks until the prefetcher has data. */
 int64_t crn_iq_next(crn_iq_stream *s, float *out);
+
+/* Planar variant: copy the next block's I samples into out_i and Q samples
+ * into out_q (block_samples floats each).  The de-interleave happened on
+ * the prefetch thread, so this is two memcpys.  Same return contract. */
+int64_t crn_iq_next_planar(crn_iq_stream *s, float *out_i, float *out_q);
 
 /* Sample index of the NEXT block to be returned (resumable cursor). */
 uint64_t crn_iq_cursor(const crn_iq_stream *s);

@@ -1,5 +1,11 @@
 // IQ stream loader: mmap'd recorded-IQ capture + slab ring + prefetch thread.
 //
+// Ring slots store PLANAR I/Q (all I samples, then all Q): captures are
+// interleaved pairs on disk (the de-facto SDR layout), but the TPU consumes
+// planar planes (signal/iq.py — de-interleaving on-device is a strided HBM
+// transpose costing as much as the sense kernel), so the producer thread
+// de-interleaves during the staging copy, hiding the cost off the hot path.
+//
 // Native analog of the reference's rx hot loop
 // (src/extensible_cognitive_radio.cpp:1258-1382): where the reference calls
 // usrp->recv() into a per-packet buffer on a dedicated rx worker thread, we
@@ -75,8 +81,14 @@ struct crn_iq_stream {
       if (stop.load(std::memory_order_acquire)) break;
       uint64_t h = head.load(std::memory_order_relaxed);
       uint32_t idx = static_cast<uint32_t>(h % depth);
-      std::memcpy(arena + static_cast<uint64_t>(idx) * block_samples * 2,
-                  map + cursor * 2, block_samples * 2 * sizeof(float));
+      // staging copy + de-interleave: slot = [I x block][Q x block]
+      float *slot_i = arena + static_cast<uint64_t>(idx) * block_samples * 2;
+      float *slot_q = slot_i + block_samples;
+      const float *src = map + cursor * 2;
+      for (uint64_t s2 = 0; s2 < block_samples; s2++) {
+        slot_i[s2] = src[2 * s2];
+        slot_q[s2] = src[2 * s2 + 1];
+      }
       slots[idx].start = cursor;
       slots[idx].n = static_cast<int64_t>(block_samples);
       cursor += block_samples;
@@ -122,8 +134,10 @@ crn_iq_stream *crn_iq_open(const char *path, uint64_t block_samples,
   return s;
 }
 
-int64_t crn_iq_next(crn_iq_stream *s, float *out) {
-  if (!s || !out) return -1;
+namespace {
+
+// Pop the next ready slot index, or -1 at end of stream.
+int64_t next_slot(crn_iq_stream *s) {
   std::unique_lock<std::mutex> lk(s->mu);
   s->cv_data.wait(lk, [&] {
     return s->head.load(std::memory_order_acquire) >
@@ -131,16 +145,51 @@ int64_t crn_iq_next(crn_iq_stream *s, float *out) {
            s->done.load(std::memory_order_acquire);
   });
   uint64_t t = s->tail.load(std::memory_order_relaxed);
-  if (s->head.load(std::memory_order_acquire) <= t) return 0;  // EOS
-  lk.unlock();
-  uint32_t idx = static_cast<uint32_t>(t % s->depth);
-  int64_t n = s->slots[idx].n;
-  std::memcpy(out,
-              s->arena + static_cast<uint64_t>(idx) * s->block_samples * 2,
-              static_cast<uint64_t>(n) * 2 * sizeof(float));
-  s->consumed_cursor = s->slots[idx].start + static_cast<uint64_t>(n);
+  if (s->head.load(std::memory_order_acquire) <= t) return -1;  // EOS
+  return static_cast<int64_t>(t);
+}
+
+void release_slot(crn_iq_stream *s, uint64_t t, uint32_t idx) {
+  s->consumed_cursor =
+      s->slots[idx].start + static_cast<uint64_t>(s->slots[idx].n);
   s->tail.store(t + 1, std::memory_order_release);
   s->cv_space.notify_one();
+}
+
+}  // namespace
+
+int64_t crn_iq_next(crn_iq_stream *s, float *out) {
+  if (!s || !out) return -1;
+  int64_t t64 = next_slot(s);
+  if (t64 < 0) return 0;
+  uint64_t t = static_cast<uint64_t>(t64);
+  uint32_t idx = static_cast<uint32_t>(t % s->depth);
+  int64_t n = s->slots[idx].n;
+  // re-interleave from the planar slot (compat layout)
+  const float *slot_i =
+      s->arena + static_cast<uint64_t>(idx) * s->block_samples * 2;
+  const float *slot_q = slot_i + s->block_samples;
+  for (int64_t k = 0; k < n; k++) {
+    out[2 * k] = slot_i[k];
+    out[2 * k + 1] = slot_q[k];
+  }
+  release_slot(s, t, idx);
+  return n;
+}
+
+int64_t crn_iq_next_planar(crn_iq_stream *s, float *out_i, float *out_q) {
+  if (!s || !out_i || !out_q) return -1;
+  int64_t t64 = next_slot(s);
+  if (t64 < 0) return 0;
+  uint64_t t = static_cast<uint64_t>(t64);
+  uint32_t idx = static_cast<uint32_t>(t % s->depth);
+  int64_t n = s->slots[idx].n;
+  const float *slot_i =
+      s->arena + static_cast<uint64_t>(idx) * s->block_samples * 2;
+  std::memcpy(out_i, slot_i, static_cast<uint64_t>(n) * sizeof(float));
+  std::memcpy(out_q, slot_i + s->block_samples,
+              static_cast<uint64_t>(n) * sizeof(float));
+  release_slot(s, t, idx);
   return n;
 }
 

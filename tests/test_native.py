@@ -326,3 +326,15 @@ class TestIQPrefetchIntegration:
         rest = list(IQReader(path, r.cursor).prefetch_blocks(512))
         assert len(rest) == 6
         np.testing.assert_array_equal(np.concatenate(rest), data[1024:])
+
+    def test_planar_blocks(self, tmp_path):
+        """next_planar returns (I, Q) planes matching the interleaved data;
+        de-interleave happens on the prefetch thread."""
+        path, data = _write_capture(tmp_path, 2048, seed=21)
+        with native.NativeIQStream(path, 512) as s:
+            planar = list(s.planar_blocks())
+        assert len(planar) == 4
+        xi_all = np.concatenate([q for _, q in planar])
+        xr_all = np.concatenate([i for i, _ in planar])
+        np.testing.assert_array_equal(xr_all, data[:, 0])
+        np.testing.assert_array_equal(xi_all, data[:, 1])

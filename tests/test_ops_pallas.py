@@ -36,3 +36,80 @@ def test_tile_divisibility_error(rng):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "multiple" in str(e)
+
+
+class TestFusedSenseCT:
+    """The Cooley-Tukey fused sense kernel (ops/fused_sense_ct.py)."""
+
+    def _ref(self, iq_planes):
+        avg = averaged_magnitude_spectrum(
+            jnp.asarray(iq_planes), mode="dft_matmul", precision="highest"
+        )
+        return np.asarray(avg), np.asarray(band_features(avg))
+
+    def test_matches_xla_reference(self, rng):
+        from cognitive_radio_network_tpu.ops.fused_sense_ct import fused_sense_ct
+
+        iq = rng.standard_normal((7, 10, 512, 2)).astype(np.float32)
+        want_avg, want_feats = self._ref(iq)
+        avg, feats = fused_sense_ct(jnp.asarray(iq), tile_c=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(avg), want_avg, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(feats), want_feats, rtol=1e-4)
+
+    def test_planar_2d_layout_matches(self, rng):
+        """Buffers-flat planar (C*A, N) tuple — the zero-relayout fast path —
+        produces identical results to interleaved planes."""
+        from cognitive_radio_network_tpu.ops.fused_sense_ct import fused_sense_ct
+
+        iq = rng.standard_normal((8, 10, 512, 2)).astype(np.float32)
+        xr = np.ascontiguousarray(iq[..., 0]).reshape(-1, 512)
+        xi = np.ascontiguousarray(iq[..., 1]).reshape(-1, 512)
+        a_pl, f_pl = fused_sense_ct(
+            (jnp.asarray(xr), jnp.asarray(xi)), tile_c=4, interpret=True
+        )
+        a_il, f_il = fused_sense_ct(jnp.asarray(iq), tile_c=4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a_pl), np.asarray(a_il))
+        np.testing.assert_array_equal(np.asarray(f_pl), np.asarray(f_il))
+
+    def test_cycle_padding(self, rng):
+        """C not a multiple of tile_c is padded internally and sliced back."""
+        from cognitive_radio_network_tpu.ops.fused_sense_ct import fused_sense_ct
+
+        iq = rng.standard_normal((5, 10, 512, 2)).astype(np.float32)
+        avg, feats = fused_sense_ct(jnp.asarray(iq), tile_c=4, interpret=True)
+        assert avg.shape == (5, 512) and feats.shape == (5, 4)
+        want_avg, want_feats = self._ref(iq)
+        np.testing.assert_allclose(np.asarray(feats), want_feats, rtol=1e-4)
+
+    def test_ct_xla_mode_matches_dense(self, rng):
+        """signal/fft.py mode='ct_matmul' == dense DFT matmul (pure XLA)."""
+        iq = rng.standard_normal((4, 10, 512, 2)).astype(np.float32)
+        dense = averaged_magnitude_spectrum(
+            jnp.asarray(iq), mode="dft_matmul", precision="highest"
+        )
+        ct = averaged_magnitude_spectrum(
+            jnp.asarray(iq), mode="ct_matmul", precision="highest"
+        )
+        np.testing.assert_allclose(
+            np.asarray(ct), np.asarray(dense), rtol=1e-4, atol=1e-5
+        )
+
+    def test_sense_classify_planar_equals_planes(self, rng):
+        """The full pipeline accepts planar tuples and agrees bit-for-bit on
+        decisions with the planes path (CPU: both use the XLA graph)."""
+        from cognitive_radio_network_tpu.models import SenseConfig, sense_classify
+        from cognitive_radio_network_tpu.signal.mlp import reference_weights
+
+        cfg = SenseConfig()
+        iq = rng.standard_normal((6, 10, 512, 2)).astype(np.float32) * 0.1
+        xr = np.ascontiguousarray(iq[..., 0]).reshape(-1, 512)
+        xi = np.ascontiguousarray(iq[..., 1]).reshape(-1, 512)
+        params = reference_weights()
+        r1 = sense_classify(jnp.asarray(iq), params, cfg)
+        r2 = sense_classify((jnp.asarray(xr), jnp.asarray(xi)), params, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(r1["decision"]), np.asarray(r2["decision"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1["features"]), np.asarray(r2["features"]), rtol=1e-5
+        )
