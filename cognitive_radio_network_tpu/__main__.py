@@ -205,9 +205,14 @@ def main(argv=None) -> int:
             master = MasterConfig(
                 scenarios=[(cfg.name, args.reps)], octave_log_summary=True
             )
-            summaries = run_master(
-                master, lambda name: load_scenario(args.path), args.log_dir
-            )
+
+            def _load(name):
+                c = load_scenario(args.path)
+                if args.run_time is not None:
+                    c.run_time = args.run_time
+                return c
+
+            summaries = run_master(master, _load, args.log_dir)
     else:
         master = load_master(args.path)
         base = Path(args.path).parent

@@ -82,6 +82,11 @@ class NodeConfig:
     tx_guard_subcarriers: int = 2
     tx_central_nulls: int = 2
     tx_pilot_freq: int = 4
+    # custom-mode run-length allocation [(type, count), ...], types
+    # "null"/"pilot"/"data" (the sc_type_N/sc_num_N groups of
+    # src/crts.cpp:429-481)
+    tx_subcarrier_alloc: list = dataclasses.field(default_factory=list)
+    rx_subcarrier_alloc: list = dataclasses.field(default_factory=list)
 
     # interferer-only block (include/crts.hpp:167-180)
     interference_type: str = "cw"
@@ -207,10 +212,26 @@ _NODE_KEY_ALIASES = {
 }
 
 
+def _parse_alloc_group(g: dict[str, Any]) -> list:
+    """sc_type_N / sc_num_N group -> [(type, count), ...] in N order
+    (sc_num omitted means 1, src/crts.cpp:440-446)."""
+    runs = []
+    i = 1
+    while f"sc_type_{i}" in g:
+        runs.append((str(g[f"sc_type_{i}"]), int(g.get(f"sc_num_{i}", 1))))
+        i += 1
+    return runs
+
+
 def _node_from_dict(d: dict[str, Any]) -> NodeConfig:
     node = NodeConfig()
     for k, v in d.items():
         k = _NODE_KEY_ALIASES.get(k, k)
+        if k in ("tx_subcarrier_alloc", "rx_subcarrier_alloc"):
+            if isinstance(v, dict):
+                v = _parse_alloc_group(v)
+            setattr(node, k, [tuple(r) for r in v])
+            continue
         if hasattr(node, k):
             cur = getattr(node, k)
             if isinstance(cur, bool):

@@ -36,6 +36,9 @@ def _alloc_for(node: NodeConfig, side: str):
                 getattr(node, f"{side}_pilot_freq"),
             )
         )
+    if method == "custom":
+        runs = [tuple(r) for r in getattr(node, f"{side}_subcarrier_alloc")]
+        return tuple(sc_mod.custom_alloc(m, runs))
     return None  # liquid-style default
 
 

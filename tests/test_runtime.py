@@ -189,3 +189,89 @@ class TestTwoNodeLink:
         sink.export_octave(tmp_path / "run.m")
         text = (tmp_path / "run.m").read_text()
         assert "phy_tx_tx_freq = [" in text
+
+
+class TestCustomSubcarrierAlloc:
+    """Custom-mode run-length allocation through the config layer
+    (sc_type_N / sc_num_N groups, src/crts.cpp:429-481)."""
+
+    CFG = """
+num_nodes = 1;
+run_time = 1.0;
+node1 : {
+  node_type = "cognitive radio";
+  tx_subcarriers = 32;
+  tx_subcarrier_alloc_method = "custom";
+  tx_subcarrier_alloc : {
+    sc_type_1 = "null";
+    sc_num_1 = 4;
+    sc_type_2 = "pilot";
+    sc_type_3 = "data";
+    sc_num_3 = 27;
+  };
+};
+"""
+
+    def test_parse_and_build(self):
+        from cognitive_radio_network_tpu.phy import subcarriers as sc_mod
+        from cognitive_radio_network_tpu.runtime.config import (
+            parse_cfg,
+            scenario_from_dict,
+        )
+        from cognitive_radio_network_tpu.runtime.control import _alloc_for
+
+        sc = scenario_from_dict(parse_cfg(self.CFG))
+        node = sc.nodes[0]
+        assert node.tx_subcarrier_alloc_method == "custom"
+        assert node.tx_subcarrier_alloc == [("null", 4), ("pilot", 1), ("data", 27)]
+        alloc = _alloc_for(node, "tx")
+        want = sc_mod.custom_alloc(32, [("null", 4), ("pilot", 1), ("data", 27)])
+        assert alloc == tuple(want)
+        # sc_num omitted means 1 (crts.cpp:445)
+        assert list(alloc).count(sc_mod.SC_PILOT) == 1
+
+    def test_loopback_with_custom_alloc(self):
+        """A link whose tx/rx share a custom allocation still decodes."""
+        from cognitive_radio_network_tpu.runtime.config import (
+            parse_cfg,
+            scenario_from_dict,
+        )
+
+        spec_alloc = """
+    sc_type_1 = "null";
+    sc_num_1 = 3;
+    sc_type_2 = "data";
+    sc_num_2 = 12;
+    sc_type_3 = "pilot";
+    sc_type_4 = "data";
+    sc_num_4 = 13;
+    sc_type_5 = "null";
+    sc_num_5 = 3;
+"""
+        nodes = []
+        for tx_f, rx_f in ((464e6, 466e6), (466e6, 464e6)):
+            nodes.append(
+                f"""
+  node_type = "cognitive radio";
+  net_mean_throughput = 200e3;
+  tx_rate = 1e6; rx_rate = 1e6; tx_gain = 20.0; rx_gain = 20.0;
+  tx_gain_soft = -6.0; ce_timeout_ms = 1000.0;
+  tx_freq = {tx_f}; rx_freq = {rx_f};
+  tx_subcarrier_alloc_method = "custom";
+  tx_subcarrier_alloc : {{ {spec_alloc} }};
+  rx_subcarrier_alloc_method = "custom";
+  rx_subcarrier_alloc : {{ {spec_alloc} }};
+"""
+            )
+        text = f"""
+num_nodes = 2;
+run_time = 0.1;
+medium_rate = 4e6; medium_center = 465e6;
+medium_block_len = 16384; medium_noise_power = 1e-7;
+node1 : {{ {nodes[0]} }};
+node2 : {{ {nodes[1]} }};
+"""
+        sc = scenario_from_dict(parse_cfg(text))
+        rt = ScenarioRuntime(sc)
+        rt.run()
+        assert len(rt.nodes[1].rx_packets) >= 2
