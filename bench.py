@@ -81,6 +81,26 @@ def main() -> None:
     msps = total_samples / elapsed / 1e6
     p50_block_ms = float(elapsed / (reps * cycles) * 1e3)
 
+    # Alt mode: bf16 IQ ingest + single-pass bf16 matmuls (precision
+    # "default") — half the HBM read traffic, ~0.5% feature error (well
+    # inside any SDR ADC's noise floor).
+    import dataclasses as _dc
+
+    fn16 = make_sense_fn(_dc.replace(cfg, precision="default"))
+    iq16 = (
+        jnp.asarray(host_xr).astype(jnp.bfloat16),
+        jnp.asarray(host_xi).astype(jnp.bfloat16),
+    )
+    for _ in range(8):  # warm: first dispatches pay remote-queue ramp-up
+        out16 = fn16(iq16, params)
+    _ = np.asarray(out16["decision"][:1])
+    reps16 = max(reps // 2, 8)
+    t0 = time.perf_counter()
+    for _ in range(reps16):
+        out16 = fn16(iq16, params)
+    _ = np.asarray(out16["decision"][:1])
+    msps16 = reps16 * n / (time.perf_counter() - t0) / 1e6
+
     print(
         json.dumps(
             {
@@ -93,6 +113,7 @@ def main() -> None:
                     "cycles_per_dispatch": cycles,
                     "device": str(jax.devices()[0]),
                     "reps": reps,
+                    "bf16_ingest_msps": round(msps16, 2),
                 },
             }
         )

@@ -102,9 +102,18 @@ def _kernel(
 
     fre = fre_ref[...]
     fim = fim_ref[...]
-    # factor slices x[m1*128 + n2]: static lane slices of the (rows, 512) tile
-    xr = [xr_ref[:, m * _N2 : (m + 1) * _N2] for m in range(_N1)]
-    xi = [xi_ref[:, m * _N2 : (m + 1) * _N2] for m in range(_N1)]
+    # factor slices x[m1*128 + n2]: static lane slices of the (rows, 512)
+    # tile, upcast so bf16 IQ inputs (the half-bandwidth ingest option —
+    # an SDR front-end's 8-14-bit ADC fits in bf16's 8-bit mantissa) go
+    # through the radix/twiddle stages in f32
+    xr = [
+        xr_ref[:, m * _N2 : (m + 1) * _N2].astype(jnp.float32)
+        for m in range(_N1)
+    ]
+    xi = [
+        xi_ref[:, m * _N2 : (m + 1) * _N2].astype(jnp.float32)
+        for m in range(_N1)
+    ]
     # radix-4 butterflies (adds only; W_4 in {1, -i, -1, +i})
     a_r, a_i = xr[0] + xr[2], xi[0] + xi[2]
     b_r, b_i = xr[0] - xr[2], xi[0] - xi[2]
@@ -167,7 +176,14 @@ def fused_sense_ct(
     """
     a = averaging
     if isinstance(iq, (tuple, list)):
-        xr, xi = (jnp.asarray(v, jnp.float32) for v in iq)
+        # keep bf16 planar inputs as-is (half the HBM read traffic; the
+        # kernel upcasts after the VMEM load) — anything else becomes f32
+        xr, xi = (
+            jnp.asarray(v)
+            if getattr(v, "dtype", None) == jnp.bfloat16
+            else jnp.asarray(v, jnp.float32)
+            for v in iq
+        )
         if xr.ndim == 3:
             a = xr.shape[1]
             xr = xr.reshape(-1, xr.shape[-1])
