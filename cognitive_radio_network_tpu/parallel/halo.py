@@ -46,6 +46,7 @@ def sharded_channelize(
     *,
     time_axis: str = "time",
     batch_axis: str | None = None,
+    precision: str = "high",
 ) -> jax.Array:
     """Time-sharded polyphase channelizer with ppermute halo exchange.
 
@@ -67,7 +68,7 @@ def sharded_channelize(
             xp_ext, halo, xp_ext.shape[t_dim], axis=t_dim
         )
         flat = body.reshape(*body.shape[:t_dim], -1, 2)
-        return channelize_planes(flat, taps_, history=hist)
+        return channelize_planes(flat, taps_, history=hist, precision=precision)
 
     if batched:
         in_spec = P(batch_axis, time_axis)

@@ -40,6 +40,9 @@ class WidebandConfig:
     taps_per_channel: int = 8
     block_len: int = 128  # per-channel samples per sense cycle
     threshold_ratio: float = 4.0  # occupancy if energy > ratio * noise floor
+    # matmul precision for the fused FIR+DFT channelizer: "highest" (f32),
+    # "high" (bf16_3x, default), "default" (bf16 single pass, fastest)
+    precision: str = "high"
 
     def taps(self) -> np.ndarray:
         return polyphase_taps(self.num_channels, self.taps_per_channel)
@@ -63,7 +66,7 @@ def wideband_sense(
     """
     m = cfg.num_channels
     chan = sharded_channelize(
-        planes, taps, mesh, batch_axis=batch_axis
+        planes, taps, mesh, batch_axis=batch_axis, precision=cfg.precision
     )  # (..., T, M, 2)
     has_channel = "channel" in mesh.axis_names
     t_axis = "time" if "time" in mesh.axis_names else None

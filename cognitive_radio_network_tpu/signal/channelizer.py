@@ -14,11 +14,14 @@ so channel k is x mixed down from center frequency +k/M * fs and decimated
 by M through the prototype low-pass (unit passband gain: a unit tone at a
 channel center produces a unit-amplitude channel output).
 
-TPU mapping: the per-phase FIR is an einsum over P stacked shifts (VPU), the
-IDFT across phases is one (T, M) @ (M, M) matmul (MXU) — both batched over
-the whole block.  The only cross-block state is the last P-1 phase rows,
-which is exactly what :func:`parallel.halo.halo_exchange` passes between
-time shards.
+TPU mapping: the FIR and DFT FOLD INTO ONE MATMUL —
+    y[t, k] = sum_{s,c} G[s*M + c, k] * xp[t - (P-1) + s, c]
+with G[s*M+c, k] = W_M^{ck} * h[P-1-s, c], i.e. overlapping (P*M)-wide
+frames of the phase rows times a constant (P*M, M) matrix: four real
+(T, P*M) @ (P*M, M) MXU matmuls (real/imag split), no per-phase shift
+stack, no complex FFT.  The only cross-block state is the last P-1 phase
+rows, which is exactly what :func:`parallel.halo.halo_exchange` passes
+between time shards.
 """
 
 from __future__ import annotations
@@ -40,21 +43,56 @@ def polyphase_taps(num_channels: int, taps_per_channel: int = 8) -> np.ndarray:
     return proto.reshape(taps_per_channel, num_channels)
 
 
-def _fir_phases(xp: jax.Array, taps: jax.Array) -> jax.Array:
-    """Per-phase causal FIR along t: xp (T, M) [+ leading batch dims], taps (P, M)."""
-    p = taps.shape[0]
-    shifted = jnp.stack(
-        [jnp.roll(xp, i, axis=-2) for i in range(p)], axis=0
-    )  # (P, ..., T, M); roll wraps — mask the head
-    t_idx = jnp.arange(xp.shape[-2])
-    mask = (t_idx[None, :] >= jnp.arange(p)[:, None]).astype(xp.dtype)  # (P, T)
-    mask = mask.reshape(p, *([1] * (xp.ndim - 2)), xp.shape[-2], 1)
-    shifted = shifted * mask
-    return jnp.einsum("pc,p...tc->...tc", taps.astype(xp.dtype), shifted)
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _fir_dft_matrices(taps: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Combined FIR+DFT matrix G (P*M, M): G[s*M+c, k] = W_M^(ck) h[P-1-s, c].
+
+    Constant-folded by XLA when ``taps`` is a constant."""
+    p, m = taps.shape
+    ang = -2.0 * np.pi * np.outer(np.arange(m), np.arange(m)) / m
+    wre = jnp.asarray(np.cos(ang).astype(np.float32))
+    wim = jnp.asarray(np.sin(ang).astype(np.float32))
+    t = jnp.flip(taps.astype(jnp.float32), axis=0)[:, :, None]  # (P, M, 1)
+    gre = (wre[None] * t).reshape(p * m, m)
+    gim = (wim[None] * t).reshape(p * m, m)
+    return gre, gim
+
+
+def _frames(rows: jax.Array, p: int) -> jax.Array:
+    """Overlapping windows: rows (..., T + P - 1, M) -> (..., T, P*M)."""
+    t = rows.shape[-2] - (p - 1)
+    return jnp.concatenate(
+        [rows[..., s : s + t, :] for s in range(p)], axis=-1
+    )
+
+
+def _channelize_rows(xr, xi, taps, history_r, history_i, precision):
+    p, m = taps.shape
+    prec = _PRECISIONS[precision]
+    gre, gim = _fir_dft_matrices(taps)
+    fr = _frames(jnp.concatenate([history_r, xr], axis=-2), p)
+    fi = _frames(jnp.concatenate([history_i, xi], axis=-2), p)
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=prec, preferred_element_type=jnp.float32)
+
+    yre = mm(fr, gre) - mm(fi, gim)
+    yim = mm(fr, gim) + mm(fi, gre)
+    return yre, yim
 
 
 def channelize(
-    x: jax.Array, taps: jax.Array, *, history: jax.Array | None = None
+    x: jax.Array,
+    taps: jax.Array,
+    *,
+    history: jax.Array | None = None,
+    precision: str = "highest",
 ) -> jax.Array:
     """x: complex (..., T*M) wide stream -> (..., T, M) per-channel streams.
 
@@ -64,19 +102,37 @@ def channelize(
     """
     p, m = taps.shape
     xp = x.reshape(*x.shape[:-1], -1, m)
-    if history is not None:
-        xp_full = jnp.concatenate([history, xp], axis=-2)
-        v = _fir_phases(xp_full, taps)[..., p - 1 :, :]
-    else:
-        v = _fir_phases(xp, taps)
-    return jnp.fft.fft(v, axis=-1)
+    if history is None:
+        history = jnp.zeros((*xp.shape[:-2], p - 1, m), xp.dtype)
+    yre, yim = _channelize_rows(
+        jnp.real(xp).astype(jnp.float32),
+        jnp.imag(xp).astype(jnp.float32),
+        taps,
+        jnp.real(history).astype(jnp.float32),
+        jnp.imag(history).astype(jnp.float32),
+        precision,
+    )
+    return (yre + 1j * yim).astype(jnp.complex64)
 
 
 def channelize_planes(
-    planes: jax.Array, taps: jax.Array, *, history: jax.Array | None = None
+    planes: jax.Array,
+    taps: jax.Array,
+    *,
+    history: jax.Array | None = None,
+    precision: str = "high",
 ) -> jax.Array:
-    """Planes variant: (..., T*M, 2) -> (..., T, M, 2). Complex only inside."""
-    x = planes[..., 0] + 1j * planes[..., 1]
-    h = None if history is None else history[..., 0] + 1j * history[..., 1]
-    y = channelize(x, taps, history=h)
-    return jnp.stack([jnp.real(y), jnp.imag(y)], axis=-1).astype(jnp.float32)
+    """Planes variant: (..., T*M, 2) -> (..., T, M, 2); no complex anywhere."""
+    p, m = taps.shape
+    xp = planes.reshape(*planes.shape[:-2], -1, m, 2)
+    if history is None:
+        history = jnp.zeros((*xp.shape[:-3], p - 1, m, 2), jnp.float32)
+    yre, yim = _channelize_rows(
+        xp[..., 0],
+        xp[..., 1],
+        taps,
+        history[..., 0],
+        history[..., 1],
+        precision,
+    )
+    return jnp.stack([yre, yim], axis=-1)
