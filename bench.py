@@ -81,6 +81,35 @@ def main() -> None:
     msps = total_samples / elapsed / 1e6
     p50_block_ms = float(elapsed / (reps * cycles) * 1e3)
 
+    # Secondary: 64-channel wideband channelize+detect (BASELINE config 5's
+    # per-chip building block: fused FIR+DFT matmul channelizer + energy
+    # detector over a 1-device mesh).
+    from jax.sharding import Mesh
+
+    from cognitive_radio_network_tpu.parallel.wideband import (
+        WidebandConfig,
+        make_wideband_fn,
+    )
+
+    wcfg = WidebandConfig()
+    wmesh = Mesh(np.array(jax.devices()[:1]).reshape(1), ("time",))
+    wfn = make_wideband_fn(wmesh, wcfg)
+    t_chan = 32768
+    wplanes = jnp.asarray(
+        rng.standard_normal((t_chan * wcfg.num_channels, 2), dtype=np.float32)
+    )
+    for _ in range(4):
+        wout = wfn(wplanes)
+    _ = np.asarray(wout["noise"][:1])
+    wreps = 64
+    t0 = time.perf_counter()
+    for _ in range(wreps):
+        wout = wfn(wplanes)
+    _ = np.asarray(wout["noise"][:1])
+    wideband_msps = wreps * t_chan * wcfg.num_channels / (
+        time.perf_counter() - t0
+    ) / 1e6
+
     # Alt mode: bf16 IQ ingest + single-pass bf16 matmuls (precision
     # "default") — half the HBM read traffic, ~0.5% feature error (well
     # inside any SDR ADC's noise floor).
@@ -114,6 +143,7 @@ def main() -> None:
                     "device": str(jax.devices()[0]),
                     "reps": reps,
                     "bf16_ingest_msps": round(msps16, 2),
+                    "wideband_64ch_msps": round(wideband_msps, 2),
                 },
             }
         )
