@@ -226,10 +226,13 @@ class OFDMFrameGen:
         b = headers.shape[0]
         hdr_bits = np.stack([self.encode_header(h) for h in headers])
         pay_bits = np.stack([self.encode_payload(p) for p in payloads])
-        iq = self._assemble_jit(jnp.asarray(hdr_bits), jnp.asarray(pay_bits))
         if as_planes:
-            return jnp.stack([jnp.real(iq), jnp.imag(iq)], axis=-1).astype(jnp.float32)
-        return iq
+            # planes come out of ONE jitted graph: no complex64 ever crosses
+            # the jit boundary (a portability hazard, see signal/iq.py)
+            return self._assemble_planes_jit(
+                jnp.asarray(hdr_bits), jnp.asarray(pay_bits)
+            )
+        return self._assemble_jit(jnp.asarray(hdr_bits), jnp.asarray(pay_bits))
 
     @functools.cached_property
     def _assemble_jit(self):
@@ -237,12 +240,16 @@ class OFDMFrameGen:
         m = cfg.num_subcarriers
         cp = cfg.cp_len
         nd = len(self.data_idx)
-        data_idx = jnp.asarray(self.data_idx)
-        pilot_idx = jnp.asarray(self.pilot_idx)
-        pilots = jnp.asarray(self.pilots)
-        s0_t = jnp.asarray(self.S0_time)
-        s1_t = jnp.asarray(self.S1_time)
-        taper = _taper_window(cfg.taper_len)
+        # keep constants as NUMPY: eagerly-created complex device arrays
+        # would need a device->host fetch when embedded as jit constants,
+        # which some PJRT backends (the tunneled TPU) cannot do for
+        # complex64 — numpy constants embed without any transfer
+        data_idx = np.asarray(self.data_idx)
+        pilot_idx = np.asarray(self.pilot_idx)
+        pilots = np.asarray(self.pilots)
+        s0_t = np.asarray(self.S0_time)
+        s1_t = np.asarray(self.S1_time)
+        taper = np.asarray(_taper_window(cfg.taper_len))
 
         def assemble(hdr_bits, pay_bits):
             bdim = hdr_bits.shape[0]
@@ -291,12 +298,26 @@ class OFDMFrameGen:
                 ).astype(jnp.complex64)
                 with_cp = with_cp * w
             body = with_cp.reshape(bdim, -1)
-            pre = jnp.concatenate([s0_t, s0_t, s1_t])
+            pre = jnp.concatenate(
+                [jnp.asarray(s0_t), jnp.asarray(s0_t), jnp.asarray(s1_t)]
+            )
             return jnp.concatenate(
                 [jnp.broadcast_to(pre, (bdim, pre.shape[0])), body], axis=-1
             )
 
         return jax.jit(assemble)
+
+    @functools.cached_property
+    def _assemble_planes_jit(self):
+        body = self._assemble_jit
+
+        def planes(hdr_bits, pay_bits):
+            iq = body(hdr_bits, pay_bits)
+            return jnp.stack([jnp.real(iq), jnp.imag(iq)], axis=-1).astype(
+                jnp.float32
+            )
+
+        return jax.jit(planes)
 
 
 def _taper_window(taper_len: int) -> jnp.ndarray:

@@ -92,8 +92,7 @@ class OFDMFrameSync:
 
     def detect(self, iq, threshold: float = 0.5):
         """Returns (peak_metric, best_offset, cfo)."""
-        re, im = split_iq(iq)
-        return _detect(self.gen, re + 1j * im)
+        return _detect(self.gen, iq)
 
     # -- aligned demodulation ------------------------------------------
 
@@ -154,17 +153,20 @@ class OFDMFrameSync:
         return stats, np.stack(headers), np.stack(payloads)
 
     def receive(self, iq, threshold: float = 0.2):
-        """Detect + demod the first frame in a block (fixed config)."""
-        re, im = split_iq(iq)
-        r = re + 1j * im
-        peak, best, cfo = _detect(self.gen, r)
+        """Detect + demod the first frame in a block (fixed config).
+
+        Planes/planar in, planes through: no complex64 ever crosses a jit
+        or transfer boundary (portability, see signal/iq.py)."""
+        re_np, im_np = _to_np_planes(iq)
+        peak, best, cfo = _detect(self.gen, (re_np, im_np))
         best = int(best)
         if float(peak) < threshold:
             return None, None, None, None
-        frame = r[best : best + self.gen.frame_len]
-        if frame.shape[0] < self.gen.frame_len:
+        fl = self.gen.frame_len
+        if best + fl > re_np.shape[0]:
             return None, None, None, None
-        stats, hdr, pay = self.demod_aligned(frame[None], cfo=jnp.asarray([cfo]))
+        frame = (re_np[None, best : best + fl], im_np[None, best : best + fl])
+        stats, hdr, pay = self.demod_aligned(frame, cfo=jnp.asarray([cfo]))
         return best, stats[0], hdr[0], pay[0]
 
 
@@ -173,11 +175,17 @@ class OFDMFrameSync:
 # ----------------------------------------------------------------------
 
 
-def _detect_core(r: jax.Array, n_valid: jax.Array, tmpl: jax.Array, m: int):
+def _detect_core(rr: jax.Array, ri: jax.Array, n_valid: jax.Array,
+                 tmpl_r: np.ndarray, tmpl_i: np.ndarray, m: int):
     """S&C coarse detect + matched-filter fine timing (jittable core).
 
-    r: complex (N,) zero-padded; n_valid: true length (dynamic scalar, so one
-    compilation serves every block of the same padded bucket size)."""
+    rr/ri: float32 planes (N,) zero-padded; n_valid: true length (dynamic
+    scalar, so one compilation serves every block of the same padded bucket
+    size).  Complex is formed INSIDE the graph; the template arrives as two
+    numpy real constants (complex device constants cannot be embedded on
+    backends that cannot transfer complex buffers)."""
+    r = rr + 1j * ri
+    tmpl = jnp.asarray(tmpl_r) + 1j * jnp.asarray(tmpl_i)
     half = m // 2
     lag = r[half:] * jnp.conj(r[:-half])
     win = 2 * m - half
@@ -221,22 +229,47 @@ def _detect_core(r: jax.Array, n_valid: jax.Array, tmpl: jax.Array, m: int):
 
 @functools.lru_cache(maxsize=64)
 def _detector_for(m: int, tmpl_key: bytes):
-    tmpl = jnp.asarray(np.frombuffer(tmpl_key, np.complex64))
-    return jax.jit(functools.partial(_detect_core, tmpl=tmpl, m=m))
+    tmpl = np.frombuffer(tmpl_key, np.complex64)
+    return jax.jit(
+        functools.partial(
+            _detect_core,
+            tmpl_r=tmpl.real.copy(),
+            tmpl_i=tmpl.imag.copy(),
+            m=m,
+        )
+    )
 
 
-def _detect(gen: OFDMFrameGen, r: jax.Array):
+def _to_np_planes(iq) -> tuple[np.ndarray, np.ndarray]:
+    """Any IQ form -> host numpy (re, im) float32, fetching only real
+    buffers (complex device->host transfers are a portability hazard)."""
+    if isinstance(iq, (tuple, list)):
+        re, im = iq
+        return (
+            np.asarray(re, np.float32),
+            np.asarray(im, np.float32),
+        )
+    if isinstance(iq, np.ndarray) and np.iscomplexobj(iq):
+        return iq.real.astype(np.float32), iq.imag.astype(np.float32)
+    re, im = split_iq(iq)
+    return np.asarray(re, np.float32), np.asarray(im, np.float32)
+
+
+def _detect(gen: OFDMFrameGen, iq):
     """Shape-bucketed detection wrapper: pads to the next power of two so the
     jitted core compiles once per bucket, not once per block length.
     Returns (metric_peak_at_best, best, cfo)."""
     m = gen.cfg.num_subcarriers
     tmpl_np = np.concatenate([gen.S0_time, gen.S0_time]).astype(np.complex64)
     det = _detector_for(m, tmpl_np.tobytes())
-    n = r.shape[0]
+    re_np, im_np = _to_np_planes(iq)
+    n = re_np.shape[0]
     bucket = 1 << max(int(np.ceil(np.log2(max(n, 4 * m)))), 0)
-    r_np = np.zeros(bucket, np.complex64)
-    r_np[:n] = np.asarray(r)
-    return det(jnp.asarray(r_np), jnp.int32(n))
+    rr = np.zeros(bucket, np.float32)
+    ri = np.zeros(bucket, np.float32)
+    rr[:n] = re_np
+    ri[:n] = im_np
+    return det(jnp.asarray(rr), jnp.asarray(ri), jnp.int32(n))
 
 
 def _equalized_data_points(gen: OFDMFrameGen, r: jax.Array, cfo: jax.Array,
@@ -357,8 +390,8 @@ class StreamReceiver:
         Returns a list of dicts: {offset, stats, header, payload} with
         ``offset`` the absolute sample index of the frame start.
         """
-        re, im = split_iq(iq)
-        block = np.asarray(re) + 1j * np.asarray(im)
+        re_np, im_np = _to_np_planes(iq)
+        block = re_np + 1j * im_np
         buf = np.concatenate([self._residual, block.astype(np.complex64)])
         base = self._residual_offset
         frames = []
@@ -370,7 +403,7 @@ class StreamReceiver:
             segment = buf[cursor:]
             if len(segment) < self.prefix_len + 4 * self.cfg.num_subcarriers:
                 break
-            peak, best, cfo = _detect(self.layout, jnp.asarray(segment))
+            peak, best, cfo = _detect(self.layout, segment)
             best = int(best)
             if float(peak) < threshold:
                 break
@@ -397,8 +430,13 @@ class StreamReceiver:
             if best + flen > len(segment):
                 keep_from = min(keep_from, cursor + best)
                 break  # frame incomplete; resume next block
+            frame_np = segment[best : best + flen]
             stats, hdrs, pays = sync.demod_aligned(
-                segment[best : best + flen][None], cfo=jnp.asarray([float(cfo)])
+                (
+                    frame_np.real.astype(np.float32)[None],
+                    frame_np.imag.astype(np.float32)[None],
+                ),
+                cfo=jnp.asarray([float(cfo)]),
             )
             frames.append(
                 {

@@ -305,7 +305,10 @@ class Radio:
         header[1] = self.frame_num & 0xFF
         header[2:8] = self.tx_header_control
         self.frame_num += 1
-        iq = np.asarray(gen.assemble(header[None], payload[None]))[0]
+        # fetch planes, combine host-side: complex64 device->host transfers
+        # are unsupported on some backends (signal/iq.py)
+        pl_ = np.asarray(gen.assemble(header[None], payload[None], as_planes=True))[0]
+        iq = (pl_[..., 0] + 1j * pl_[..., 1]).astype(np.complex64)
         g = float(soft_gain(self.params.tx_gain_soft)) * float(
             soft_gain(self.params.tx_gain)
         )
