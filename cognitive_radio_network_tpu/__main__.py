@@ -14,6 +14,115 @@ import sys
 from pathlib import Path
 
 
+def _cmd_sense(args) -> int:
+    """Stream a capture through sense->classify: the deployment hot path.
+
+    Native prefetch thread de-interleaves to planar off the hot path
+    (native/src/iq_stream.cpp); blocks batch into dispatches of
+    cycles_per_dispatch sense cycles; decisions/features/tx-retune trace
+    accumulate host-side. Falls back to the Python reader without the
+    native library."""
+    import time
+
+    import numpy as np
+
+    from cognitive_radio_network_tpu import native
+    from cognitive_radio_network_tpu.io.iq import IQReader, StreamCursor
+    from cognitive_radio_network_tpu.models import SenseConfig, make_sense_fn
+    from cognitive_radio_network_tpu.signal.mlp import reference_weights
+
+    cfg = SenseConfig()
+    if args.weights:
+        from cognitive_radio_network_tpu.io.checkpoint import load_mlp
+
+        params = load_mlp(args.weights)
+    else:
+        params = reference_weights()
+    fn = make_sense_fn(cfg)
+
+    cursor = (
+        StreamCursor.load(args.cursor)
+        if args.cursor and Path(args.cursor).exists()
+        else StreamCursor()
+    )
+    reader = IQReader(args.capture, cursor)
+    block_samples = cfg.samples_per_cycle * args.cycles_per_dispatch
+
+    decisions, features, freqs = [], [], []
+    tx_freq = 833e6
+    n_samples = 0
+    t0 = None  # started after the first dispatch (excludes jit compile)
+    timed_samples = 0
+    if native.available():
+        stream = native.NativeIQStream(
+            args.capture, block_samples, start_sample=cursor.sample_index
+        )
+        blocks = stream.planar_blocks()
+    else:
+        stream = None
+        blocks = (
+            (b[..., 0].copy(), b[..., 1].copy())
+            for b in reader.blocks(block_samples)
+        )
+    import jax.numpy as jnp
+
+    for xr, xi in blocks:
+        rows = args.cycles_per_dispatch * cfg.averaging
+        out = fn(
+            (
+                jnp.asarray(xr.reshape(rows, cfg.fft_length)),
+                jnp.asarray(xi.reshape(rows, cfg.fft_length)),
+            ),
+            params,
+        )
+        dec = np.asarray(out["decision"])
+        decisions.append(dec)
+        features.append(np.asarray(out["features"]))
+        # retune policy host-side (next_tx_channel semantics,
+        # CE_Predictive_Node.cpp:245-261): 1->ch2, 2->ch1, 3->ch2, 0->keep
+        ch1, ch2, _ = cfg.channels_hz
+        retune = {1: ch2, 2: ch1, 3: ch2}
+        for d in dec:
+            tx_freq = retune.get(int(d), tx_freq)
+            freqs.append(tx_freq)
+        n_samples += block_samples
+        if t0 is None:
+            t0 = time.perf_counter()
+        else:
+            timed_samples += block_samples
+        if stream is not None:
+            reader.cursor.sample_index = stream.cursor
+    elapsed = (time.perf_counter() - t0) if t0 is not None else 0.0
+    if stream is not None:
+        stream.close()
+    if args.cursor:
+        reader.cursor.save(args.cursor)
+    if not decisions:
+        print("capture shorter than one dispatch; nothing sensed")
+        return 1
+    dec = np.concatenate(decisions)
+    feats = np.concatenate(features)
+    occ = np.bincount(dec, minlength=4)
+    rate = timed_samples / elapsed / 1e6 if elapsed > 0 and timed_samples else 0.0
+    print(
+        f"sensed {n_samples/1e6:.1f} MSamples "
+        f"({rate:.0f} MS/s steady-state, excl. compile) -> {len(dec)} cycles; "
+        f"decisions: all-busy={occ[0]} ch1={occ[1]} ch2={occ[2]} ch3={occ[3]}; "
+        f"final tx {freqs[-1]/1e6:.0f} MHz"
+    )
+    if args.out:
+        np.savez_compressed(
+            args.out,
+            decision=dec,
+            features=feats,
+            tx_freq=np.asarray(freqs, np.float64),
+            sample_rate_hz=reader.sample_rate_hz,
+            center_hz=reader.center_hz,
+        )
+        print(f"saved {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     import os
 
@@ -78,6 +187,19 @@ def main(argv=None) -> int:
     tp.add_argument("-o", "--out", default="checkpoints/occupancy_mlp.npz")
     tp.add_argument("--seed", type=int, default=0)
 
+    sn = sub.add_parser(
+        "sense",
+        help="stream a recorded IQ capture through the fused sense->classify "
+        "pipeline (native prefetcher -> planar ingest -> TPU kernel)",
+    )
+    sn.add_argument("capture", help="raw interleaved f32 I/Q file (io.IQWriter)")
+    sn.add_argument("-o", "--out", default=None, help="save results .npz")
+    sn.add_argument("-c", "--cycles-per-dispatch", type=int, default=256)
+    sn.add_argument("--cursor", default=None, help="resume cursor file")
+    sn.add_argument(
+        "-w", "--weights", default=None, help="trained MLP checkpoint (npz)"
+    )
+
     wp = sub.add_parser("spectrum", help="headless spectrum analyzer")
     wp.add_argument("spectrum_args", nargs=argparse.REMAINDER)
 
@@ -111,6 +233,9 @@ def main(argv=None) -> int:
         print("cognitive engines:", ", ".join(engine_names()))
         print("scenario controllers:", ", ".join(controller_names()))
         return 0
+
+    if args.cmd == "sense":
+        return _cmd_sense(args)
 
     if args.cmd == "spectrum":
         from cognitive_radio_network_tpu.tools.spectrum_analyzer import main as smain

@@ -128,3 +128,48 @@ class TestTraining:
         preds = mlp_forward(params, jnp.log1p(feats)) > 0.5
         acc = float(jnp.mean(preds == (labels > 0.5)))
         assert acc > 0.9, f"accuracy {acc}"
+
+
+class TestSenseCLI:
+    def test_sense_capture_roundtrip(self, tmp_path):
+        """Generate a Markov-PU capture, stream it through the `sense` CLI
+        (native prefetcher when available), and check the decisions track
+        the PU trace and the cursor supports resume."""
+        import jax
+        import numpy as np
+
+        from cognitive_radio_network_tpu.__main__ import main as cli_main
+        from cognitive_radio_network_tpu.env import markov_pu_trace
+        from cognitive_radio_network_tpu.env.scene import (
+            occupancy_to_powers,
+            synthesize_scene,
+        )
+        from cognitive_radio_network_tpu.io.iq import IQWriter
+        from cognitive_radio_network_tpu.models import SenseConfig
+
+        cfg = SenseConfig()
+        c = 64
+        trace = np.asarray(markov_pu_trace(jax.random.key(5), c))
+        powers = occupancy_to_powers(jax.numpy.asarray(trace), 3, power=0.05)
+        iq = synthesize_scene(
+            jax.random.key(2), powers, cfg.samples_per_cycle, as_planes=True
+        )
+        cap = tmp_path / "cap.iq"
+        with IQWriter(cap, 13e6, 833e6) as w:
+            w.write(np.asarray(iq).reshape(-1, 2))
+
+        out = tmp_path / "out.npz"
+        cursor = tmp_path / "cursor.json"
+        rc = cli_main(
+            ["sense", str(cap), "-o", str(out), "-c", "32", "--cursor", str(cursor)]
+        )
+        assert rc == 0
+        data = np.load(out)
+        np.testing.assert_array_equal(data["decision"], trace + 1)
+        assert len(data["tx_freq"]) == c
+        # cursor advanced to the end; resuming senses nothing new
+        import json
+
+        assert json.loads(cursor.read_text())["sample_index"] == c * 5120
+        rc2 = cli_main(["sense", str(cap), "--cursor", str(cursor)])
+        assert rc2 == 1  # nothing left to sense
