@@ -262,7 +262,11 @@ class NetController:
         but discards the remote stderr; we surface it)."""
         out = []
         for i, p in enumerate(self.procs):
-            if p.poll() is not None and p.stderr is not None:
+            try:  # give a dying process a moment to flush and exit
+                p.wait(timeout=5)
+            except subprocess.TimeoutExpired:
+                continue
+            if p.stderr is not None:
                 tail = p.stderr.read().decode(errors="replace")[-2000:]
                 if tail.strip():
                     out.append(f"--- node {i} (rc={p.returncode}) stderr ---\n{tail}")

@@ -338,3 +338,52 @@ class TestIQPrefetchIntegration:
         xr_all = np.concatenate([i for i, _ in planar])
         np.testing.assert_array_equal(xr_all, data[:, 0])
         np.testing.assert_array_equal(xi_all, data[:, 1])
+
+
+class TestRingStress:
+    def test_spsc_ring_under_pressure(self, tmp_path):
+        """Small ring depth + bursty consumer: every block arrives exactly
+        once, in order, bit-exact — no torn reads from producer/consumer
+        races."""
+        import time as _time
+
+        n_blocks, block = 200, 256
+        path, data = _write_capture(tmp_path, n_blocks * block, seed=3)
+        rng = np.random.default_rng(0)
+        with native.NativeIQStream(path, block, depth=2) as s:
+            for i in range(n_blocks):
+                if i % 17 == 0:
+                    _time.sleep(0.002)  # let the producer fill + stall
+                b = s.next_block()
+                np.testing.assert_array_equal(
+                    b, data[i * block : (i + 1) * block]
+                )
+            assert s.next_block() is None
+
+    def test_many_streams_concurrently(self, tmp_path):
+        """8 independent streams (8 producer threads) over one capture."""
+        import threading
+
+        path, data = _write_capture(tmp_path, 4096, seed=4)
+        errors = []
+
+        def consume(start):
+            try:
+                with native.NativeIQStream(
+                    path, 256, depth=3, start_sample=start
+                ) as s:
+                    got = list(s.blocks())
+                    want = data[start:]
+                    want = want[: len(want) // 256 * 256]
+                    np.testing.assert_array_equal(np.concatenate(got), want)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=consume, args=(i * 256,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30)
+        assert not errors, errors

@@ -200,3 +200,72 @@ class TestDistributedScenario:
             v for (n, p, v) in feedback_log if n == 0 and p is CrtsParam.TX_FREQ
         ]
         assert 837e6 in tx_freq_fbs, f"feedback log: {feedback_log}"
+
+
+@pytest.mark.slow
+class TestDistributedEdgeCases:
+    def test_interferer_node_in_distributed_mode(self):
+        """A CW interferer node runs as its own OS process; the radio node
+        receives its energy through the controller-hosted medium."""
+        radio = NodeConfig(
+            cognitive_engine="CE_Template",
+            net_mean_throughput=200e3,
+            tx_freq=464e6,
+            tx_rate=1e6,
+            rx_freq=465e6,
+            rx_rate=1e6,
+        )
+        interferer = NodeConfig(
+            node_type="interferer",
+            interference_type="cw",
+            tx_freq=465e6,
+            tx_rate=1e6,
+            tx_gain=25.0,
+            duty_cycle=1.0,
+        )
+        cfg = ScenarioConfig(
+            num_nodes=2,
+            run_time=0.02,
+            nodes=[radio, interferer],
+            medium_rate=4e6,
+            medium_center=465e6,
+            medium_block_len=16384,
+            medium_noise_power=1e-9,
+            name="netctl_interferer",
+        )
+        ctl = NetController(cfg, port=47320, transport="python", start_pad_s=0.1)
+        summary = ctl.run()
+        # interferer contributes no traffic counters but the run completes
+        assert summary.bytes_sent[1] == 0
+        assert summary.bytes_sent[0] > 0
+
+    def test_node_crash_surfaces_stderr(self, tmp_path):
+        """A node process that dies mid-run is detected; the controller's
+        error carries the remote traceback (the reference just noticed the
+        disconnect, src/crts_controller.cpp:43-54)."""
+        # a crashing engine would need registration inside the node process;
+        # instead point a python-radio node at a file that raises
+        bad = tmp_path / "bad_radio.py"
+        bad.write_text(
+            "def create_node(node_id, medium_rate, medium_center, config):\n"
+            "    raise RuntimeError('deliberate-crash-for-test')\n"
+        )
+        a = NodeConfig(
+            cognitive_radio_type="python",
+            python_file=str(bad),
+            tx_freq=464e6,
+            rx_freq=466e6,
+        )
+        b = NodeConfig(cognitive_engine="CE_Template", tx_freq=466e6, rx_freq=464e6)
+        cfg = ScenarioConfig(
+            num_nodes=2,
+            run_time=0.02,
+            nodes=[a, b],
+            medium_rate=4e6,
+            medium_block_len=16384,
+            name="netctl_crash",
+        )
+        ctl = NetController(cfg, port=47321, transport="python", start_pad_s=0.1)
+        with pytest.raises((ConnectionError, TimeoutError)) as ei:
+            ctl.run()
+        assert "deliberate-crash-for-test" in str(ei.value)
