@@ -33,9 +33,12 @@ def _cmd_sense(args) -> int:
 
     cfg = SenseConfig()
     if args.weights:
-        from cognitive_radio_network_tpu.io.checkpoint import load_mlp
+        from cognitive_radio_network_tpu.io.checkpoint import load_mlp_with_meta
 
-        params = load_mlp(args.weights)
+        params, meta = load_mlp_with_meta(args.weights)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, feature_transform=meta["feature_transform"])
     else:
         params = reference_weights()
     fn = make_sense_fn(cfg)
@@ -299,7 +302,7 @@ def main(argv=None) -> int:
         params, losses = fit(jax.random.key(args.seed + 1), feats, labels, tcfg)
         preds = mlp_forward(params, jnp.log1p(feats)) > 0.5
         acc = float(jnp.mean(preds == (labels > 0.5)))
-        save_mlp(args.out, params)
+        save_mlp(args.out, params, feature_transform="log1p" if tcfg.log_features else "none")
         print(
             f"trained {args.num_examples} examples, {args.steps} steps: "
             f"loss {losses[0]:.4f} -> {losses[-1]:.4f}, accuracy {acc:.3f}; "

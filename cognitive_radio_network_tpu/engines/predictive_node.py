@@ -40,7 +40,20 @@ class CEPredictiveNode(CognitiveEngine):
     def __init__(self, radio, args=None):
         super().__init__(radio, args)
         self.cfg = SenseConfig()
+        # ce_args: -w <checkpoint.npz> loads trained weights (the reference
+        # hardcodes its weights in source, CE_Predictive_Node.cpp:78-120;
+        # here training + checkpoints are first-class: models/train.py)
         self.params = reference_weights()
+        a = list(args or [])
+        if "-w" in a:
+            import dataclasses as _dc
+
+            from cognitive_radio_network_tpu.io.checkpoint import load_mlp_with_meta
+
+            self.params, meta = load_mlp_with_meta(a[a.index("-w") + 1])
+            self.cfg = _dc.replace(
+                self.cfg, feature_transform=meta["feature_transform"]
+            )
         self._sense_fn = make_sense_fn(self.cfg)
         self.configured = False
         self.next_sense_t = 0.0

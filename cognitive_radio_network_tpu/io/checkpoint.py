@@ -15,10 +15,14 @@ import numpy as np
 
 from cognitive_radio_network_tpu.signal.mlp import MLPParams
 
-__all__ = ["save_mlp", "load_mlp", "save_state", "load_state"]
+__all__ = ["save_mlp", "load_mlp", "load_mlp_with_meta", "save_state", "load_state"]
 
 
-def save_mlp(path: str | Path, params: MLPParams) -> None:
+def save_mlp(
+    path: str | Path, params: MLPParams, *, feature_transform: str = "none"
+) -> None:
+    """feature_transform records the input transform the weights were
+    trained with ("none" | "log1p") so inference applies the same one."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     np.savez(
         path,
@@ -26,17 +30,30 @@ def save_mlp(path: str | Path, params: MLPParams) -> None:
         b1=np.asarray(params.b1),
         w2=np.asarray(params.w2),
         b2=np.asarray(params.b2),
+        feature_transform=np.asarray(feature_transform),
     )
 
 
 def load_mlp(path: str | Path, dtype=jnp.float32) -> MLPParams:
+    return load_mlp_with_meta(path, dtype)[0]
+
+
+def load_mlp_with_meta(
+    path: str | Path, dtype=jnp.float32
+) -> tuple[MLPParams, dict]:
     d = np.load(path)
-    return MLPParams(
+    params = MLPParams(
         jnp.asarray(d["w1"], dtype),
         jnp.asarray(d["b1"], dtype),
         jnp.asarray(d["w2"], dtype),
         jnp.asarray(d["b2"], dtype),
     )
+    meta = {
+        "feature_transform": (
+            str(d["feature_transform"]) if "feature_transform" in d else "none"
+        )
+    }
+    return params, meta
 
 
 def save_state(path: str | Path, tree) -> None:

@@ -60,6 +60,10 @@ class SenseConfig:
     # factorization materializes every stage in HBM and is slower than the
     # dense matmul. None = auto (TPU only); False forces the XLA graph.
     use_fused_kernel: bool | None = None
+    # input transform applied to band features before the MLP: "none" (the
+    # reference's raw squared-sums, matching its shipped weights) or
+    # "log1p" (what models/train.py trains with; checkpoints record which)
+    feature_transform: str = "none"
     # "highest" = true f32 matmuls (strict bit-match mode); "high" = bf16_3x
     # (~5e-5 rel err, ~1.5x faster, default); "default" = bf16 (fastest).
     precision: str = "high"
@@ -120,7 +124,8 @@ def sense_classify(
         feats = bands_mod.band_features(avg, cfg.bands)
     from cognitive_radio_network_tpu.signal.mlp import mlp_forward
 
-    outs = mlp_forward(params, feats)
+    mlp_in = jnp.log1p(feats) if cfg.feature_transform == "log1p" else feats
+    outs = mlp_forward(params, mlp_in)
     decision = det.occupancy_decision(outs, cfg.threshold)
     return {
         "avg_spectrum": avg,

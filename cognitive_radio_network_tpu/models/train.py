@@ -56,20 +56,30 @@ def make_dataset(
     cfg: SenseConfig = SenseConfig(),
     scene_cfg: scene_mod.SceneConfig | None = None,
     signal_power: float = 0.05,
+    power_jitter_decades: float = 1.5,
 ):
     """Labeled (features, occupancy one-hot) pairs from synthetic scenes.
 
     Default size mirrors the reference's ~400-example dataset (README.md:104).
     Labels are per-channel occupancy {0,1}^3 — multi-label, supporting
     simultaneously active channels (beyond the reference's single-PU traces).
+    Signal power is randomized +-power_jitter_decades decades around
+    signal_power so the trained detector generalizes across link gains
+    (a real deployment's PU power is unknown); set 0.0 for fixed power.
     """
     scene_cfg = scene_cfg or scene_mod.SceneConfig()
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     # Mix of single-channel, idle, and multi-channel cycles.
     occupancy = jax.random.bernoulli(
         k1, 0.35, (num_examples, len(scene_cfg.channels_hz))
     ).astype(jnp.float32)
-    powers = occupancy * signal_power
+    jitter = 10.0 ** jax.random.uniform(
+        k4,
+        (num_examples, 1),
+        minval=-power_jitter_decades,
+        maxval=power_jitter_decades,
+    )
+    powers = occupancy * signal_power * jitter
     iq = scene_mod.synthesize_scene(k2, powers, cfg.samples_per_cycle, scene_cfg)
     res = sense_classify(
         iq.reshape(num_examples, cfg.averaging, cfg.fft_length),

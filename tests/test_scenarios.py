@@ -128,3 +128,44 @@ class TestInterfererScenario:
         # swept up and reflected back
         assert max(freqs) >= 838e6 and min(freqs) <= 834e6
         assert len(set(freqs)) >= 5
+
+
+class TestTrainedWeightsDeployment:
+    def test_train_checkpoint_deploy_roundtrip(self, tmp_path):
+        """Train the classifier on synthetic scenes, checkpoint it (with the
+        feature transform recorded), load it into CE_Predictive_Node via
+        `-w`, and verify it still detects a parked PU and retunes."""
+        import jax
+        import jax.numpy as jnp
+
+        from cognitive_radio_network_tpu.io.checkpoint import (
+            load_mlp_with_meta,
+            save_mlp,
+        )
+        from cognitive_radio_network_tpu.models.train import (
+            TrainConfig,
+            fit,
+            make_dataset,
+        )
+
+        feats, labels = make_dataset(jax.random.key(0), 400)
+        # enough steps to push occupied-channel outputs past the reference's
+        # 0.8 decision threshold (undertrained nets plateau near ~0.7)
+        tcfg = TrainConfig(num_steps=1500, learning_rate=3e-3)
+        params, losses = fit(jax.random.key(1), feats, labels, tcfg)
+        assert losses[-1] < losses[0]
+        ckpt = tmp_path / "mlp.npz"
+        save_mlp(ckpt, params, feature_transform="log1p")
+        _, meta = load_mlp_with_meta(ckpt)
+        assert meta["feature_transform"] == "log1p"
+
+        cfg = _predictive_scenario()
+        cfg.nodes[1].ce_args = f"-w {ckpt}"
+        rt = ScenarioRuntime(cfg)
+        rt.run()
+        eng = rt.nodes[1].engine
+        assert eng.cfg.feature_transform == "log1p"
+        assert len(eng.decisions) >= 2
+        # PU parked on CH1 -> trained model must call CH1 occupied
+        assert eng.decisions[-1] == 1, eng.decisions
+        assert rt.nodes[1].radio.get_tx_freq() == 835e6
