@@ -169,3 +169,66 @@ class TestTrainedWeightsDeployment:
         # PU parked on CH1 -> trained model must call CH1 occupied
         assert eng.decisions[-1] == 1, eng.decisions
         assert rt.nodes[1].radio.get_tx_freq() == 835e6
+
+
+class TestManyNodeScenario:
+    def test_eight_node_mixed_scenario(self):
+        """8 nodes in one medium — 3 FDD radio pairs + 2 interferers (the
+        reference supports up to 48 nodes/scenario, include/crts.hpp:189).
+        Each pair's link still decodes despite the other transmitters."""
+        common = dict(
+            cognitive_engine="CE_Template",
+            ce_timeout_ms=1000.0,
+            net_mean_throughput=200e3,
+            tx_rate=1e6,
+            rx_rate=1e6,
+            tx_gain=20.0,
+            rx_gain=20.0,
+            tx_gain_soft=-6.0,
+        )
+        nodes = []
+        # pairs at 461/463, 465/467, 469/471 MHz inside a 16 MHz medium
+        for base in (461e6, 465e6, 469e6):
+            nodes.append(NodeConfig(tx_freq=base, rx_freq=base + 2e6, **common))
+            nodes.append(NodeConfig(tx_freq=base + 2e6, rx_freq=base, **common))
+        nodes.append(
+            NodeConfig(
+                node_type="interferer",
+                interference_type="cw",
+                tx_freq=473e6,
+                tx_gain=15.0,
+                duty_cycle=0.5,
+                period=0.01,
+            )
+        )
+        nodes.append(
+            NodeConfig(
+                node_type="interferer",
+                interference_type="noise",
+                tx_freq=459e6,
+                tx_gain=10.0,
+                tx_freq_behavior="sweep",
+                tx_freq_min=458e6,
+                tx_freq_max=460e6,
+                tx_freq_dwell_time=0.005,
+                tx_freq_resolution=0.5e6,
+            )
+        )
+        cfg = ScenarioConfig(
+            num_nodes=8,
+            run_time=0.08,
+            nodes=nodes,
+            medium_rate=16e6,
+            medium_center=466e6,
+            medium_block_len=65536,
+            medium_noise_power=1e-8,
+            name="eight_node",
+        )
+        rt = ScenarioRuntime(cfg)
+        summary = rt.run()
+        assert not rt.failed_nodes, rt.failed_nodes
+        for i in range(6):  # every radio both sent and received
+            assert summary.bytes_sent[i] > 0
+            assert summary.valid_frames[i] > 0, (
+                f"node {i}: {summary.valid_frames}"
+            )
