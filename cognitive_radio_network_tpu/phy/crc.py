@@ -81,6 +81,39 @@ def crc_generate(scheme: str, data: np.ndarray) -> np.ndarray:
     raise ValueError(f"unknown crc scheme: {scheme}")
 
 
+def crc_generate_batch(scheme: str, data: np.ndarray) -> np.ndarray:
+    """Batched check bytes: data (B, N) -> (B, crc_sizes(scheme)).
+
+    Bit-identical to per-frame :func:`crc_generate`.  The table recursion
+    is sequential over byte positions but vectorized over frames — the
+    per-frame python loop costs ~1 us/byte and dominates batched frame
+    assembly without this."""
+    data = np.asarray(data, np.uint8)
+    b, n = data.shape
+    if scheme == "none":
+        return np.zeros((b, 0), np.uint8)
+    if scheme == "checksum":
+        return (np.sum(data.astype(np.uint64), axis=1) & 0xFF).astype(
+            np.uint8
+        )[:, None]
+    if scheme == "crc16":
+        t = _crc16_table()
+        c = np.full(b, 0xFFFF, np.uint16)
+        for i in range(n):
+            c = (t[(c ^ data[:, i]) & 0xFF] ^ (c >> 8)).astype(np.uint16)
+        return np.stack([(c >> 8) & 0xFF, c & 0xFF], axis=1).astype(np.uint8)
+    if scheme == "crc32":
+        t = _crc32_table()
+        c = np.full(b, 0xFFFFFFFF, np.uint32)
+        for i in range(n):
+            c = (t[(c ^ data[:, i]) & 0xFF] ^ (c >> 8)).astype(np.uint32)
+        c = c ^ np.uint32(0xFFFFFFFF)
+        return np.stack(
+            [(c >> s) & 0xFF for s in (24, 16, 8, 0)], axis=1
+        ).astype(np.uint8)
+    raise ValueError(f"unknown crc scheme: {scheme}")
+
+
 def crc_validate(scheme: str, data_with_check: np.ndarray) -> bool:
     n = crc_sizes(scheme)
     if n == 0:

@@ -148,6 +148,75 @@ def conv_encode_bits(bits: np.ndarray) -> np.ndarray:
     return np.array(res, np.uint8)
 
 
+def conv_encode_bits_batch(bits: np.ndarray) -> np.ndarray:
+    """Batched K=7 R=1/2 convolutional encode: bits (B, N) -> (B, 2*(N+6)).
+
+    The state recursion is sequential in bit position but fully vectorized
+    over the batch axis — one table lookup per position for all frames.
+    """
+    ns, out = _conv_tables()
+    bits = np.asarray(bits, np.uint8)
+    b, n = bits.shape
+    full = np.concatenate(
+        [bits, np.zeros((b, _CONV_K - 1), np.uint8)], axis=1
+    )
+    res = np.empty((b, 2 * (n + _CONV_K - 1)), np.uint8)
+    state = np.zeros(b, np.int64)
+    for i in range(full.shape[1]):
+        o = out[state, full[:, i]]
+        res[:, 2 * i] = (o >> 1) & 1
+        res[:, 2 * i + 1] = o & 1
+        state = ns[state, full[:, i]]
+    return res
+
+
+def _pad_bits_batch(bits: np.ndarray) -> np.ndarray:
+    rem = (-bits.shape[-1]) % 8
+    if rem:
+        bits = np.concatenate(
+            [bits, np.zeros((*bits.shape[:-1], rem), np.uint8)], axis=-1
+        )
+    return bits
+
+
+def encode_batch(scheme: str, data: np.ndarray) -> np.ndarray:
+    """Batched encode: data (B, N) uint8 -> (B, encoded_length(scheme, N)).
+
+    Bit-identical to per-frame :func:`encode`; vectorized over the frame
+    axis (the per-frame path costs ~10 small numpy ops + python overhead
+    per frame, which dominates batched frame assembly)."""
+    data = np.asarray(data, np.uint8)
+    if data.ndim != 2:
+        raise ValueError(f"expected (B, N), got {data.shape}")
+    b, n = data.shape
+    if scheme == "none":
+        return data.copy()
+    if scheme == "rep3":
+        return np.tile(data, (1, 3))
+    if scheme == "h74":
+        enc, _ = _h74_tables()
+        hi, lo = data >> 4, data & 0xF
+        cws = np.empty((b, 2 * n), np.uint8)
+        cws[:, 0::2], cws[:, 1::2] = enc[hi], enc[lo]
+        bits = ((cws[..., None] >> np.arange(6, -1, -1)) & 1).reshape(b, -1)
+        return np.packbits(_pad_bits_batch(bits), axis=-1)
+    if scheme == "h128":
+        enc, _, _ = _h128_matrices()
+        cws = enc[data]
+        bits = (
+            ((cws[..., None] >> np.arange(11, -1, -1)) & 1)
+            .astype(np.uint8)
+            .reshape(b, -1)
+        )
+        return np.packbits(_pad_bits_batch(bits), axis=-1)
+    if scheme == "v27":
+        bits = np.unpackbits(data, axis=-1)
+        return np.packbits(
+            _pad_bits_batch(conv_encode_bits_batch(bits)), axis=-1
+        )
+    raise ValueError(f"unknown fec scheme: {scheme}")
+
+
 def viterbi_decode_bits(coded: np.ndarray, n_bits: int) -> np.ndarray:
     """Hard-decision Viterbi over 64 states; numpy vectorized over states."""
     ns, out = _conv_tables()

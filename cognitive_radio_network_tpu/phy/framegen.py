@@ -212,6 +212,34 @@ class OFDMFrameGen:
         )
         return unpack_bits(fec_mod.encode(self.cfg.fec1, fec_mod.encode(self.cfg.fec0, with_crc)))
 
+    def encode_header_batch(self, headers: np.ndarray) -> np.ndarray:
+        """Batched encode_header: (B, 8) -> coded bits (B, n_header_bits)."""
+        headers = np.asarray(headers, np.uint8)
+        phy = pack_phy_header(self.cfg, self.payload_len)
+        full = np.concatenate(
+            [headers, np.tile(phy, (headers.shape[0], 1))], axis=1
+        )
+        with_crc = np.concatenate(
+            [full, crc_mod.crc_generate_batch(_HEADER_CRC, full)], axis=1
+        )
+        return np.unpackbits(
+            fec_mod.encode_batch(_HEADER_FEC, with_crc), axis=-1
+        )
+
+    def encode_payload_batch(self, payloads: np.ndarray) -> np.ndarray:
+        """Batched encode_payload: (B, P) -> coded bits (B, n_bits)."""
+        payloads = np.asarray(payloads, np.uint8)
+        with_crc = np.concatenate(
+            [payloads, crc_mod.crc_generate_batch(self.cfg.crc_scheme, payloads)],
+            axis=1,
+        )
+        return np.unpackbits(
+            fec_mod.encode_batch(
+                self.cfg.fec1, fec_mod.encode_batch(self.cfg.fec0, with_crc)
+            ),
+            axis=-1,
+        )
+
     # ----- device-side synthesis -----
 
     def assemble(
@@ -223,9 +251,8 @@ class OFDMFrameGen:
         """
         headers = np.atleast_2d(np.asarray(headers, np.uint8))
         payloads = np.atleast_2d(np.asarray(payloads, np.uint8))
-        b = headers.shape[0]
-        hdr_bits = np.stack([self.encode_header(h) for h in headers])
-        pay_bits = np.stack([self.encode_payload(p) for p in payloads])
+        hdr_bits = self.encode_header_batch(headers)
+        pay_bits = self.encode_payload_batch(payloads)
         if as_planes:
             # planes come out of ONE jitted graph: no complex64 ever crosses
             # the jit boundary (a portability hazard, see signal/iq.py)

@@ -132,3 +132,47 @@ class TestModem:
         got, _ = modem.demodulate("qam16", x + jnp.asarray(noise.astype(np.complex64)))
         ser = np.mean(np.asarray(got) != syms)
         assert ser < 0.01
+
+
+class TestBatchedEncoders:
+    """Batched CRC/FEC/frame encoders are bit-identical to per-frame."""
+
+    def test_crc_generate_batch(self, rng):
+        from cognitive_radio_network_tpu.phy import crc
+
+        for scheme in ("none", "checksum", "crc16", "crc32"):
+            data = rng.integers(0, 256, (7, 33), dtype=np.uint8)
+            batch = crc.crc_generate_batch(scheme, data)
+            for i in range(7):
+                np.testing.assert_array_equal(
+                    batch[i], crc.crc_generate(scheme, data[i]), err_msg=scheme
+                )
+
+    def test_fec_encode_batch(self, rng):
+        from cognitive_radio_network_tpu.phy import fec
+
+        for scheme in ("none", "rep3", "h74", "h128", "v27"):
+            data = rng.integers(0, 256, (5, 40), dtype=np.uint8)
+            batch = fec.encode_batch(scheme, data)
+            for i in range(5):
+                np.testing.assert_array_equal(
+                    batch[i], fec.encode(scheme, data[i]), err_msg=scheme
+                )
+
+    def test_framegen_batch_encoders(self, rng):
+        import dataclasses
+
+        from cognitive_radio_network_tpu.phy.framegen import (
+            OFDMFrameConfig,
+            OFDMFrameGen,
+        )
+
+        cfg = dataclasses.replace(OFDMFrameConfig(), fec0="v27", crc_scheme="crc16")
+        gen = OFDMFrameGen(cfg, 48)
+        hdrs = rng.integers(0, 256, (4, 8), dtype=np.uint8)
+        pays = rng.integers(0, 256, (4, 48), dtype=np.uint8)
+        hb = gen.encode_header_batch(hdrs)
+        pb = gen.encode_payload_batch(pays)
+        for i in range(4):
+            np.testing.assert_array_equal(hb[i], gen.encode_header(hdrs[i]))
+            np.testing.assert_array_equal(pb[i], gen.encode_payload(pays[i]))
