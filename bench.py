@@ -81,31 +81,35 @@ def main() -> None:
     msps = total_samples / elapsed / 1e6
     p50_block_ms = float(elapsed / (reps * cycles) * 1e3)
 
-    # Secondary: 64-channel wideband channelize+detect (BASELINE config 5's
-    # per-chip building block: fused FIR+DFT matmul channelizer + energy
-    # detector over a 1-device mesh).
-    from jax.sharding import Mesh
-
+    # Secondary: 64-channel wideband energy detect (BASELINE config 5's
+    # per-chip building block), on the lane-packed fast path
+    # (parallel/wideband.py::wideband_energy_packed).
     from cognitive_radio_network_tpu.parallel.wideband import (
         WidebandConfig,
-        make_wideband_fn,
+        wideband_energy_packed,
     )
+    from cognitive_radio_network_tpu.signal.channelizer import polyphase_taps
 
     wcfg = WidebandConfig()
-    wmesh = Mesh(np.array(jax.devices()[:1]).reshape(1), ("time",))
-    wfn = make_wideband_fn(wmesh, wcfg)
+    wtaps = jnp.asarray(polyphase_taps(wcfg.num_channels, wcfg.taps_per_channel))
+    wfn = jax.jit(
+        lambda a, b: wideband_energy_packed(a, b, wtaps, wcfg, precision="high")
+    )
     t_chan = 32768
-    wplanes = jnp.asarray(
-        rng.standard_normal((t_chan * wcfg.num_channels, 2), dtype=np.float32)
+    wxr = jnp.asarray(
+        rng.standard_normal(t_chan * wcfg.num_channels, dtype=np.float32)
+    )
+    wxi = jnp.asarray(
+        rng.standard_normal(t_chan * wcfg.num_channels, dtype=np.float32)
     )
     for _ in range(4):
-        wout = wfn(wplanes)
-    _ = np.asarray(wout["noise"][:1])
+        wout = wfn(wxr, wxi)
+    _ = np.asarray(wout[:1, :1])
     wreps = 64
     t0 = time.perf_counter()
     for _ in range(wreps):
-        wout = wfn(wplanes)
-    _ = np.asarray(wout["noise"][:1])
+        wout = wfn(wxr, wxi)
+    _ = np.asarray(wout[:1, :1])
     wideband_msps = wreps * t_chan * wcfg.num_channels / (
         time.perf_counter() - t0
     ) / 1e6

@@ -31,7 +31,7 @@ from cognitive_radio_network_tpu.parallel.halo import sharded_channelize
 from cognitive_radio_network_tpu.signal.channelizer import polyphase_taps
 from cognitive_radio_network_tpu.signal.iq import planes_abs2
 
-__all__ = ["WidebandConfig", "wideband_sense", "make_wideband_fn"]
+__all__ = ["WidebandConfig", "wideband_sense", "wideband_energy_packed", "make_wideband_fn"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,6 +92,74 @@ def wideband_sense(
     noise = 0.5 * (min_e + jnp.minimum(mean_e, 2.0 * min_e))
     occupied = energy > cfg.threshold_ratio * noise
     return {"energy": energy, "noise": noise, "occupied": occupied}
+
+
+def wideband_energy_packed(
+    xr: jax.Array,
+    xi: jax.Array,
+    taps: jax.Array,
+    cfg: WidebandConfig,
+    *,
+    precision: str = "high",
+) -> jax.Array:
+    """Single-chip fast path: planar wide stream -> per-cycle channel energy.
+
+    Fully lane-packed formulation — the wide stream reshapes to rows of
+    512 samples (8 output times each for M=64), frame windows are lane
+    slices of a row-pair concat, and the FIR+DFT is the combined matrix G
+    of signal/channelizer.py.  No (T, 64) half-empty-lane arrays anywhere:
+    ~2x the throughput of channelize-then-reduce.  Energy only (the
+    channelized IQ itself is never materialized); use sharded_channelize
+    when per-channel streams are needed.
+
+    xr/xi: (T*M,) float32.  Returns (C, M) with C = T / block_len.
+    Requires M * P = 512-wide windows divisible into 512-lane rows (the
+    default M=64, P=8) and T divisible by 8 * block_len.
+    """
+    from cognitive_radio_network_tpu.signal.channelizer import (
+        _PRECISIONS,
+        _fir_dft_matrices,
+    )
+
+    m, p = cfg.num_channels, cfg.taps_per_channel
+    win = m * p
+    times_per_row = win // m  # 8
+    if win != 512:
+        raise ValueError(f"packed path requires M*P=512, got {win}")
+    t_total = xr.shape[0] // m
+    r = t_total // times_per_row
+    if cfg.block_len % times_per_row or t_total % cfg.block_len:
+        raise ValueError(
+            f"block_len must be a multiple of {times_per_row} and "
+            f"T={t_total} a multiple of block_len"
+        )
+    prec = _PRECISIONS[precision]
+    gre, gim = _fir_dft_matrices(taps)
+
+    rows_r = xr.reshape(r, win)
+    rows_i = xi.reshape(r, win)
+    zpad = jnp.zeros((1, win), jnp.float32)
+    x2r = jnp.concatenate(
+        [jnp.concatenate([zpad, rows_r[:-1]], axis=0), rows_r], axis=1
+    )
+    x2i = jnp.concatenate(
+        [jnp.concatenate([zpad, rows_i[:-1]], axis=0), rows_i], axis=1
+    )
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=prec, preferred_element_type=jnp.float32)
+
+    power = jnp.zeros((r, m), jnp.float32)
+    for k in range(times_per_row):
+        s = m * (k + 1)
+        wr = jax.lax.slice(x2r, (0, s), (r, s + win))
+        wi = jax.lax.slice(x2i, (0, s), (r, s + win))
+        yre = mm(wr, gre) - mm(wi, gim)
+        yim = mm(wr, gim) + mm(wi, gre)
+        power = power + (yre * yre + yim * yim)
+    power = power / times_per_row  # mean over the row's 8 output times
+    rows_per_cycle = cfg.block_len // times_per_row
+    return power.reshape(r // rows_per_cycle, rows_per_cycle, m).mean(axis=1)
 
 
 def make_wideband_fn(mesh: Mesh, cfg: WidebandConfig, *, batch_axis: str | None = None):

@@ -131,3 +131,37 @@ class TestWideband:
                 assert occ[:, k].all(), f"channel {k} should be occupied"
             else:
                 assert not occ[:, k].any(), f"channel {k} should be free"
+
+
+class TestPackedWidebandEnergy:
+    def test_matches_channelize_reference(self, rng):
+        """The lane-packed energy fast path equals channelize -> |.|^2 ->
+        block-mean (same FIR+DFT matrix, different data layout)."""
+        import jax.numpy as jnp
+
+        from cognitive_radio_network_tpu.parallel.wideband import (
+            WidebandConfig,
+            wideband_energy_packed,
+        )
+        from cognitive_radio_network_tpu.signal.channelizer import (
+            channelize_planes,
+            polyphase_taps,
+        )
+
+        cfg = WidebandConfig()  # M=64, P=8, block_len=128
+        t_total = 4 * cfg.block_len
+        planes = rng.standard_normal((t_total * 64, 2)).astype(np.float32)
+        taps = jnp.asarray(polyphase_taps(64, 8))
+        got = wideband_energy_packed(
+            jnp.asarray(planes[:, 0].copy()),
+            jnp.asarray(planes[:, 1].copy()),
+            taps,
+            cfg,
+            precision="highest",
+        )
+        chan = np.asarray(
+            channelize_planes(jnp.asarray(planes), taps, precision="highest")
+        )
+        power = chan[..., 0] ** 2 + chan[..., 1] ** 2
+        want = power.reshape(-1, cfg.block_len, 64).mean(axis=1)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-6)
