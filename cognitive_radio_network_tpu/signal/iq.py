@@ -39,6 +39,12 @@ def split_iq(x) -> tuple[jax.Array, jax.Array]:
     if isinstance(x, (tuple, list)):
         xr, xi = x
         return jnp.asarray(xr, jnp.float32), jnp.asarray(xi, jnp.float32)
+    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+        # split on the host: transferring complex64 to some backends fails
+        return (
+            jnp.asarray(x.real.astype(np.float32)),
+            jnp.asarray(x.imag.astype(np.float32)),
+        )
     if jnp.iscomplexobj(x):
         return jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)
     if x.shape[-1] == 2:
