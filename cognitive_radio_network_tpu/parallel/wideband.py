@@ -31,7 +31,13 @@ from cognitive_radio_network_tpu.parallel.halo import sharded_channelize
 from cognitive_radio_network_tpu.signal.channelizer import polyphase_taps
 from cognitive_radio_network_tpu.signal.iq import planes_abs2
 
-__all__ = ["WidebandConfig", "wideband_sense", "wideband_energy_packed", "make_wideband_fn"]
+__all__ = [
+    "WidebandConfig",
+    "wideband_sense",
+    "wideband_energy_packed",
+    "sharded_wideband_energy_packed",
+    "make_wideband_fn",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,6 +166,75 @@ def wideband_energy_packed(
     power = power / times_per_row  # mean over the row's 8 output times
     rows_per_cycle = cfg.block_len // times_per_row
     return power.reshape(r // rows_per_cycle, rows_per_cycle, m).mean(axis=1)
+
+
+def sharded_wideband_energy_packed(
+    xr: jax.Array,
+    xi: jax.Array,
+    mesh: Mesh,
+    cfg: WidebandConfig,
+    *,
+    time_axis: str = "time",
+    precision: str = "high",
+) -> jax.Array:
+    """Time-sharded lane-packed energy detector (BASELINE config 5 on the
+    fast path): each shard runs :func:`wideband_energy_packed` on its
+    segment, with the cross-shard FIR state — exactly ONE packed row
+    (512 wide samples >= the P-1 phase-row history) — flowing between ring
+    neighbors via the same ppermute halo as sharded_channelize.
+
+    xr/xi: (T*M,) planar wide stream, sharded over ``time_axis``.
+    Returns (C, M) energies with the cycle axis sharded the same way.
+    """
+    from cognitive_radio_network_tpu.parallel.halo import halo_exchange
+    from cognitive_radio_network_tpu.signal.channelizer import (
+        _PRECISIONS,
+        _fir_dft_matrices,
+    )
+
+    m = cfg.num_channels
+    win = m * cfg.taps_per_channel
+    times_per_row = win // m
+    prec = _PRECISIONS[precision]
+    taps = jnp.asarray(cfg.taps())
+    gre, gim = _fir_dft_matrices(taps)
+
+    def local(xr_l, xi_l):
+        r = xr_l.shape[0] // win
+        rows_r = xr_l.reshape(r, win)
+        rows_i = xi_l.reshape(r, win)
+        # halo: previous shard's LAST packed row seeds this shard's first
+        ext_r = halo_exchange(rows_r, 1, time_axis, axis=0)  # (r+1, win)
+        ext_i = halo_exchange(rows_i, 1, time_axis, axis=0)
+        x2r = jnp.concatenate([ext_r[:-1], rows_r], axis=1)  # (r, 2*win)
+        x2i = jnp.concatenate([ext_i[:-1], rows_i], axis=1)
+
+        def mm(a, b):
+            return jnp.matmul(
+                a, b, precision=prec, preferred_element_type=jnp.float32
+            )
+
+        power = jnp.zeros((r, m), jnp.float32)
+        for k in range(times_per_row):
+            s = m * (k + 1)
+            wr = jax.lax.slice(x2r, (0, s), (r, s + win))
+            wi = jax.lax.slice(x2i, (0, s), (r, s + win))
+            yre = mm(wr, gre) - mm(wi, gim)
+            yim = mm(wr, gim) + mm(wi, gre)
+            power = power + (yre * yre + yim * yim)
+        power = power / times_per_row
+        rows_per_cycle = cfg.block_len // times_per_row
+        return power.reshape(r // rows_per_cycle, rows_per_cycle, m).mean(axis=1)
+
+    from jax import shard_map
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(time_axis), P(time_axis)),
+        out_specs=P(time_axis),
+        check_vma=False,
+    )(xr, xi)
 
 
 def make_wideband_fn(mesh: Mesh, cfg: WidebandConfig, *, batch_axis: str | None = None):

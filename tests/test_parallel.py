@@ -165,3 +165,34 @@ class TestPackedWidebandEnergy:
         power = chan[..., 0] ** 2 + chan[..., 1] ** 2
         want = power.reshape(-1, cfg.block_len, 64).mean(axis=1)
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-6)
+
+    def test_sharded_packed_equals_single_device(self, rng):
+        """Time-sharded packed energy (one-packed-row ppermute halo) is
+        bit-identical to the single-device packed path — seams between
+        shards carry the FIR state exactly."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from cognitive_radio_network_tpu.parallel.wideband import (
+            WidebandConfig,
+            sharded_wideband_energy_packed,
+            wideband_energy_packed,
+        )
+        from cognitive_radio_network_tpu.signal.channelizer import polyphase_taps
+
+        cfg = WidebandConfig()
+        t_total = 8 * cfg.block_len  # 8 cycles -> 2 per shard on 4 devices
+        xr = jnp.asarray(rng.standard_normal(t_total * 64).astype(np.float32))
+        xi = jnp.asarray(rng.standard_normal(t_total * 64).astype(np.float32))
+        taps = jnp.asarray(polyphase_taps(64, 8))
+        single = wideband_energy_packed(xr, xi, taps, cfg, precision="highest")
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("time",))
+        sharded = jax.jit(
+            lambda a, b: sharded_wideband_energy_packed(
+                a, b, mesh, cfg, precision="highest"
+            )
+        )(xr, xi)
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(single), rtol=1e-6, atol=1e-9
+        )
