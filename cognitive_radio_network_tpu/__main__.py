@@ -217,9 +217,7 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from cognitive_radio_network_tpu.runtime import (
-        LogSink,
         MasterConfig,
-        ScenarioRuntime,
         controller_names,
         engine_names,
         load_master,

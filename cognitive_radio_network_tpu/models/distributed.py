@@ -17,9 +17,7 @@ Parameters are replicated; pjit inserts the gradient psum over ICI.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ reintroduces the wall-clock cadence when emulating scenario timing.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
