@@ -245,7 +245,6 @@ def main(argv=None) -> int:
 
     if args.cmd == "export":
         import numpy as np
-        from pathlib import Path
 
         src = Path(args.path)
         columns: dict[str, "np.ndarray"] = {}

@@ -173,3 +173,24 @@ class TestSenseCLI:
         assert json.loads(cursor.read_text())["sample_index"] == c * 5120
         rc2 = cli_main(["sense", str(cap), "--cursor", str(cursor)])
         assert rc2 == 1  # nothing left to sense
+
+
+class TestMasterCLI:
+    def test_master_runs_scenarios(self, tmp_path):
+        """The master CLI parses a master file and runs its scenario list
+        (regression: a local pathlib import used to shadow Path for every
+        non-export branch)."""
+        (tmp_path / "mini.cfg").write_text(
+            'num_nodes = 1;\nrun_time = 0.01;\n'
+            'node1 : { node_type = "cognitive radio"; };\n'
+        )
+        (tmp_path / "master.cfg").write_text(
+            "num_scenarios = 1;\nreps_all_scenarios = 1;\n"
+            'scenario_1 = "mini";\n'
+        )
+        from cognitive_radio_network_tpu.__main__ import main as cli_main
+
+        rc = cli_main(
+            ["master", str(tmp_path / "master.cfg"), "-l", str(tmp_path / "logs")]
+        )
+        assert rc == 0
