@@ -144,7 +144,10 @@ def load(*, build: bool = True) -> ctypes.CDLL | None:
     global _lib, _load_attempted
     if _lib is not None:
         return _lib
-    if _load_attempted and not build:
+    if _load_attempted:
+        # Cache failure too: available() sits on per-LogSink / per-transport
+        # paths, and re-running `make` on every call would cost a subprocess
+        # spawn (up to its 120 s timeout) on toolchain-less hosts.
         return None
     _load_attempted = True
     if not _LIB_PATH.exists() and build and _NATIVE_DIR.exists():
@@ -339,9 +342,20 @@ class MsgTransport:
     runtime/netctl.py.
     """
 
+    # Default receive capacity; grow with set_recv_cap() for scenarios whose
+    # medium blocks exceed it (PyMsgTransport is unbounded — parity matters).
+    DEFAULT_CAP = 1 << 22
+
     def __init__(self, fd: int):
         self._lib = _require()
         self.fd = fd
+        self._cap = self.DEFAULT_CAP
+        self._buf = None  # lazily allocated, reused across recvs
+
+    def set_recv_cap(self, cap: int) -> None:
+        if cap > self._cap:
+            self._cap = int(cap)
+            self._buf = None
 
     @staticmethod
     def listen(port: int) -> int:
@@ -376,14 +390,24 @@ class MsgTransport:
 
     def recv(self, timeout_ms: int = -1) -> tuple[int, bytes] | None:
         """One message as (type, payload); None on timeout; raises on close."""
-        cap = 1 << 22
-        buf = ctypes.create_string_buffer(cap)
+        if self._buf is None:
+            self._buf = ctypes.create_string_buffer(self._cap)
+        buf = self._buf
         t = ctypes.c_uint8(0)
-        n = self._lib.crn_msg_recv(self.fd, ctypes.byref(t), buf, cap, timeout_ms)
+        n = self._lib.crn_msg_recv(
+            self.fd, ctypes.byref(t), buf, self._cap, timeout_ms
+        )
         if n == -2:
             return None
         if n == -3:
             raise ConnectionResetError("peer closed")
+        if n == -4:
+            # crn_msg_recv drained the oversized payload, so the stream stays
+            # framed — surface a clear, recoverable error.
+            raise ValueError(
+                f"message payload exceeds recv cap {self._cap}; call "
+                "set_recv_cap() or use transport='python'"
+            )
         if n < 0:
             raise ConnectionError(f"recv failed ({n})")
         return int(t.value), buf.raw[: int(n)]

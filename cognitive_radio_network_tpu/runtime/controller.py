@@ -167,16 +167,19 @@ class ScenarioRuntime:
     def run(self, rep: int = 1) -> ScenarioSummary:
         import time as _time
 
-        self.start()
-        wall_start = _time.monotonic()
-        while self.t < self.cfg.run_time and not self.terminated:
-            self.step()
-            if (
-                self.cfg.max_wall_time_s is not None
-                and _time.monotonic() - wall_start > self.cfg.max_wall_time_s
-            ):
-                # forceful termination (crts_controller.cpp:556-577 analog)
-                self.terminated = True
+        try:
+            self.start()
+            wall_start = _time.monotonic()
+            while self.t < self.cfg.run_time and not self.terminated:
+                self.step()
+                if (
+                    self.cfg.max_wall_time_s is not None
+                    and _time.monotonic() - wall_start > self.cfg.max_wall_time_s
+                ):
+                    # forceful termination (crts_controller.cpp:556-577 analog)
+                    self.terminated = True
+        finally:
+            self.log.flush()  # persist spill logs even on abnormal exit
         bytes_sent, bytes_rcvd, frames, valid = [], [], [], []
         for node in self.nodes:
             if isinstance(node, InterfererNode) or not isinstance(node, RadioNode):

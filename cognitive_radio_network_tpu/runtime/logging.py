@@ -169,10 +169,23 @@ class LogSink:
             self._spill_writers[stream] = w
         w.append(_pack_record(stream, rec))
 
+    def flush(self) -> None:
+        """Force spill writers to disk (the native binlog buffers ~1 MiB;
+        typical runs spill less, so without this the .crnl files stay empty
+        until close — defeating their crash-recovery purpose)."""
+        for w in self._spill_writers.values():
+            w.flush()
+
     def close(self) -> None:
         for w in self._spill_writers.values():
             w.close()
         self._spill_writers.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     # -- record streams (convert_logs_bin_to_octave.cpp:103-230) --
 

@@ -173,6 +173,13 @@ def _json(obj: Any) -> bytes:
     return json.dumps(obj).encode()
 
 
+def _fit_recv_cap(conn, block_len: int) -> None:
+    """Grow the native transport's receive cap to fit a TX/RX_BLOCK payload
+    (4-byte step header + block_len complex64); PyMsgTransport is unbounded."""
+    if hasattr(conn, "set_recv_cap"):
+        conn.set_recv_cap(4 + 8 * int(block_len) + 4096)
+
+
 class NetController:
     """Controller process: scenario server + medium hub.
 
@@ -282,6 +289,7 @@ class NetController:
                 conn = self.tcls.accept(srv, 30000)
                 if conn is None:
                     raise TimeoutError(f"node {i} did not connect")
+                _fit_recv_cap(conn, cfg.medium_block_len)
                 self.conns.append(conn)
             scenario_d = dataclasses.asdict(cfg)
             for i, conn in enumerate(self.conns):
@@ -364,6 +372,7 @@ class NetController:
                     elif typ == Msg.FEEDBACK:
                         self._handle_feedback(payload)
         finally:
+            self.log.flush()  # persist spill logs even on abnormal exit
             for conn in self.conns:
                 try:
                     conn.close()
@@ -407,6 +416,7 @@ def run_node_client(
         d = json.loads(payload)
         idx = d["node_index"]
         cfg = _scenario_from_asdict(d["scenario"])
+        _fit_recv_cap(conn, cfg.medium_block_len)
         mcfg = MediumConfig(
             sample_rate_hz=cfg.medium_rate,
             center_hz=cfg.medium_center,

@@ -92,10 +92,19 @@ struct crn_iq_stream {
       slots[idx].start = cursor;
       slots[idx].n = static_cast<int64_t>(block_samples);
       cursor += block_samples;
-      head.store(h + 1, std::memory_order_release);
+      // Publish under mu: a store+notify outside the mutex can land between
+      // a waiter's predicate check and its sleep (classic lost wakeup) —
+      // the consumer would then block in next_slot forever.
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        head.store(h + 1, std::memory_order_release);
+      }
       cv_data.notify_one();
     }
-    done.store(true, std::memory_order_release);
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      done.store(true, std::memory_order_release);
+    }
     cv_data.notify_all();
   }
 };
@@ -152,7 +161,13 @@ int64_t next_slot(crn_iq_stream *s) {
 void release_slot(crn_iq_stream *s, uint64_t t, uint32_t idx) {
   s->consumed_cursor =
       s->slots[idx].start + static_cast<uint64_t>(s->slots[idx].n);
-  s->tail.store(t + 1, std::memory_order_release);
+  // Same lost-wakeup discipline as produce(): publish tail under mu so the
+  // producer's cv_space predicate can't miss it (with depth==1 the producer
+  // and consumer would otherwise mutually deadlock).
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->tail.store(t + 1, std::memory_order_release);
+  }
   s->cv_space.notify_one();
 }
 
@@ -203,7 +218,10 @@ uint64_t crn_iq_num_samples(const crn_iq_stream *s) {
 
 void crn_iq_close(crn_iq_stream *s) {
   if (!s) return;
-  s->stop.store(true, std::memory_order_release);
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->stop.store(true, std::memory_order_release);
+  }
   s->cv_space.notify_all();
   s->cv_data.notify_all();
   if (s->producer.joinable()) s->producer.join();

@@ -15,6 +15,8 @@
 #include <cstring>
 
 #include <arpa/inet.h>
+#include <errno.h>
+#include <fcntl.h>
 #include <netdb.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
@@ -104,14 +106,31 @@ int crn_tcp_connect(const char *host, uint16_t port, int timeout_ms) {
     freeaddrinfo(res);
     return -1;
   }
-  // Non-blocking connect with poll timeout.
+  // Non-blocking connect with poll timeout (a node pointed at an
+  // unreachable controller must fail within timeout_ms, not the OS default).
+  int flags = ::fcntl(fd, F_GETFL, 0);
+  ::fcntl(fd, F_SETFL, flags | O_NONBLOCK);
   int rc = ::connect(fd, res->ai_addr, res->ai_addrlen);
   freeaddrinfo(res);
   if (rc < 0) {
-    ::close(fd);
-    return -1;
+    if (errno != EINPROGRESS) {
+      ::close(fd);
+      return -1;
+    }
+    struct pollfd pfd = {fd, POLLOUT, 0};
+    int pr = ::poll(&pfd, 1, timeout_ms);
+    if (pr <= 0) {
+      ::close(fd);
+      return pr == 0 ? -2 : -1;
+    }
+    int err = 0;
+    socklen_t errlen = sizeof(err);
+    if (getsockopt(fd, SOL_SOCKET, SO_ERROR, &err, &errlen) != 0 || err != 0) {
+      ::close(fd);
+      return -1;
+    }
   }
-  (void)timeout_ms;
+  ::fcntl(fd, F_SETFL, flags);  // restore blocking mode
   int one = 1;
   setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
   return fd;
@@ -138,7 +157,19 @@ int64_t crn_msg_recv(int fd, uint8_t *type, void *buf, uint64_t cap,
                  (static_cast<uint32_t>(hdr[2]) << 16) |
                  (static_cast<uint32_t>(hdr[3]) << 24);
   *type = hdr[4];
-  if (len > cap) return -4;
+  if (len > cap) {
+    // Drain and discard the oversized payload so the stream stays framed
+    // (leaving it unread would desync every subsequent recv).
+    uint8_t sink[4096];
+    uint64_t left = len;
+    while (left) {
+      uint64_t chunk = left < sizeof(sink) ? left : sizeof(sink);
+      if (read_exact(fd, sink, chunk, -1) != static_cast<int64_t>(chunk))
+        return -1;
+      left -= chunk;
+    }
+    return -4;
+  }
   if (len == 0) return 0;
   r = read_exact(fd, buf, len, -1);
   if (r != static_cast<int64_t>(len)) return -1;

@@ -180,6 +180,34 @@ class TestTransport:
         cli.close()
         native.MsgTransport.close_server(srv)
 
+    def test_oversized_payload_keeps_stream_framed(self):
+        # A payload beyond the recv cap must raise a clear error AND leave
+        # the stream framed: the next message is still readable.
+        srv = native.MsgTransport.listen(47126)
+        out = {}
+
+        def server():
+            conn = native.MsgTransport.accept(srv, 5000)
+            conn._cap = 64  # shrink cap to force the -4 path
+            conn._buf = None
+            try:
+                conn.recv(5000)
+            except ValueError as e:
+                out["err"] = str(e)
+            out["next"] = conn.recv(5000)
+            conn.close()
+
+        t = threading.Thread(target=server)
+        t.start()
+        cli = native.MsgTransport.connect("127.0.0.1", 47126, 5000)
+        cli.send(2, bytes(range(200)))  # 200 > 64 cap
+        cli.send(3, b"still-framed")
+        t.join(10)
+        assert "recv cap" in out["err"]
+        assert out["next"] == (3, b"still-framed")
+        cli.close()
+        native.MsgTransport.close_server(srv)
+
     def test_peer_close_raises(self):
         srv = native.MsgTransport.listen(47125)
 
