@@ -46,6 +46,13 @@ class NodeConfig:
     ce_args: str = ""
 
     print_rx_frame_metrics: bool = False
+    # fault injection (no reference .cfg equivalent; gives the reference's
+    # UHD overflow/underrun CE events a producer in simulation,
+    # src/extensible_cognitive_radio.cpp:1326-1347):
+    # drop every Nth rx block (0 = never) -> UHD_OVERFLOW event
+    rx_overflow_interval: int = 0
+    # detect continuous-tx starvation mid-burst -> UHD_UNDERRUN event
+    tx_underrun_detect: bool = False
     log_phy_rx: bool = False
     log_phy_tx: bool = False
     log_net_rx: bool = False
@@ -123,6 +130,10 @@ class ScenarioConfig:
     # wall-clock guard (reference: run_time + 10 s forceful termination,
     # src/crts_controller.cpp:524-527); None disables
     max_wall_time_s: float | None = None
+    # multi-process lockstep patience: how long controller/node wait for the
+    # peer's next TX/RX_BLOCK.  Generous default because a node subprocess's
+    # first jit compile on a tunneled TPU backend can take >30 s
+    net_step_timeout_s: float = 120.0
 
 
 @dataclasses.dataclass

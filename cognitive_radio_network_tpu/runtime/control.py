@@ -88,8 +88,11 @@ def build_node(i: int, nc: NodeConfig, mcfg: MediumConfig, log_sink):
             burst_length=nc.net_burst_length,
         ),
         log_sink=log_sink,
+        rx_overflow_interval=nc.rx_overflow_interval,
     )
     r = node.radio
+    r.print_rx_frame_metrics = nc.print_rx_frame_metrics
+    r.underrun_detect = nc.tx_underrun_detect
     r.set_tx_freq(nc.tx_freq)
     r.set_tx_rate(nc.tx_rate)
     r.set_tx_gain(nc.tx_gain - 20.0)  # UHD dB ref: 20 dB ~ unit gain

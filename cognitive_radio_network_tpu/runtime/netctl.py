@@ -312,11 +312,12 @@ class NetController:
             for step in range(num_steps):
                 if self.terminated:
                     break
+                step_ms = int(cfg.net_step_timeout_s * 1e3)
                 contributions: list[np.ndarray | None] = [None] * len(self.conns)
                 for i, conn in enumerate(self.conns):
                     while True:
                         try:
-                            typ, payload = conn.recv(30000) or (None, b"")
+                            typ, payload = conn.recv(step_ms) or (None, b"")
                         except (ConnectionError, OSError) as e:
                             raise ConnectionError(
                                 f"node {i} died at step {step}: {e}\n"
@@ -499,7 +500,7 @@ def run_node_client(
             contribution = node.pull_tx_block(mcfg.block_len)
             conn.send(Msg.TX_BLOCK, _pack_block(step, contribution))
             while True:
-                msg = conn.recv(30000)
+                msg = conn.recv(int(cfg.net_step_timeout_s * 1e3))
                 if msg is None:
                     raise TimeoutError(f"controller stalled at step {step}")
                 typ, payload = msg

@@ -45,6 +45,7 @@ class RadioNode:
         ce_timeout_ms: float = 1000.0,
         traffic: TrafficConfig | None = None,
         log_sink=None,
+        rx_overflow_interval: int = 0,
     ):
         self.node_id = node_id
         self.radio = Radio(medium_rate, medium_center, node_id, log_sink)
@@ -55,6 +56,11 @@ class RadioNode:
         self._last_ce_t = 0.0
         self.rx_packets: list[tuple[float, int, np.ndarray]] = []
         self.started = False
+        # fault injection: drop every Nth rx block, surfacing UHD_OVERFLOW
+        # (the reference's uhd_msg_handler 'O' path,
+        # src/extensible_cognitive_radio.cpp:1326-1347)
+        self.rx_overflow_interval = int(rx_overflow_interval)
+        self._rx_block_count = 0
 
     def start(self) -> None:
         self.radio.start_rx()
@@ -81,8 +87,18 @@ class RadioNode:
         return self.radio.pull_tx_block(n)
 
     def push_rx_block(self, block: np.ndarray, t: float) -> None:
-        if self.started:
-            self.radio.push_rx_block(block, t)
+        if not self.started:
+            return
+        self._rx_block_count += 1
+        if (
+            self.rx_overflow_interval > 0
+            and self._rx_block_count % self.rx_overflow_interval == 0
+        ):
+            # injected overflow: the block is LOST (samples dropped, like a
+            # USRP rx ring overrun) and the CE sees UHD_OVERFLOW
+            self.radio.notify_overflow(t)
+            return
+        self.radio.push_rx_block(block, t)
 
     def run_ce(self, t: float) -> None:
         """Drain radio events into engine executions + timeout semantics

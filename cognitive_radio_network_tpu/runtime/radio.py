@@ -97,9 +97,17 @@ class Radio:
         self._rx_resid_sens = np.zeros(0, np.complex64)
         self._gen: OFDMFrameGen | None = None
         self._rx: StreamReceiver | None = None
-        self._tx_dirty = True
         self._rx_dirty = True
         self._events: list[CEMetrics] = []
+        # live per-frame metrics console (print_metrics,
+        # src/extensible_cognitive_radio.cpp:1814-1842), enabled by the
+        # node config's print_rx_frame_metrics flag
+        self.print_rx_frame_metrics = False
+        # organic UHD_UNDERRUN producer: fire when a continuous tx stream
+        # runs dry mid-burst (the USRP 'U' condition); opt-in because extra
+        # CE events change timing-sensitive engine schedules
+        self.underrun_detect = False
+        self._was_streaming = False
         self.rx_packet_sink: deque[tuple[int, np.ndarray]] = deque()  # the "TUN"
         self.num_tx_frames = 0
 
@@ -109,10 +117,11 @@ class Radio:
 
     def _set(self, name: str, value, side: str) -> None:
         setattr(self.params, name, value)
-        if side == "tx":
-            self._tx_dirty = True
-        else:
+        if side == "rx":
             self._rx_dirty = True
+        # tx-side rebuilds need no dirty flag: _get_gen's config-keyed cache
+        # IS the recreate_fg semantics (a changed config misses the cache and
+        # builds a fresh generator at the next frame)
 
     # tx
     def set_tx_freq(self, f: float) -> None:
@@ -284,11 +293,6 @@ class Radio:
             subcarrier_alloc=p.rx_subcarrier_alloc,
         )
 
-    def _apply_tx_params(self) -> None:
-        # recreate framegen iff config changed (recreate_fg semantics)
-        self._gens = getattr(self, "_gens", {})
-        self._tx_dirty = False
-
     def _get_gen(self, payload_len: int) -> OFDMFrameGen:
         self._gens = getattr(self, "_gens", {})
         key = (self._tx_cfg(), payload_len)
@@ -326,8 +330,6 @@ class Radio:
     def pull_tx_block(self, n: int) -> np.ndarray | None:
         """Medium-facing: produce this node's next n transmit samples at the
         medium rate (None = silent)."""
-        if self._tx_dirty:
-            self._apply_tx_params()
         out = np.zeros(n, np.complex64)
         filled = 0
         emitted = False
@@ -354,6 +356,14 @@ class Radio:
             emitted = True
             if not self._tx_queue and not self._ctrl_queue and not len(self._tx_residual):
                 self._push_event(CEEvent.TX_COMPLETE)
+        if self.underrun_detect and self.tx_state == TX_CONTINUOUS:
+            if filled < n and (emitted or self._was_streaming):
+                # stream went dry mid-burst: the UHD underrun analog
+                # (uhd_msg_handler 'U', src/extensible_cognitive_radio.cpp:1326-1347)
+                self.notify_underrun(self._tx_sample_cursor / self.medium_rate)
+                self._was_streaming = False
+            elif filled == n:
+                self._was_streaming = True
         if not emitted:
             self._tx_sample_cursor += n
             return None
@@ -420,6 +430,8 @@ class Radio:
                 time_s=t,
             )
             self._events.append(m)
+            if self.print_rx_frame_metrics:
+                _print_metrics(m)
             self.stats.record_frame(
                 t, s.payload_valid, s.evm, s.rssi, f["payload"]
             )
@@ -446,10 +458,36 @@ class Radio:
         return ev
 
 
-def _rate_ratio(target: float, source: float) -> tuple[int, int]:
-    """Integer up/down for source -> target rate (rates assumed rational
-    multiples, as all config rates are)."""
+def _print_metrics(m: CEMetrics) -> None:
+    """Live per-frame metrics table (print_metrics,
+    src/extensible_cognitive_radio.cpp:1814-1842 layout)."""
+    s = m.stats
+    print("\n---------------------------------------------------------")
+    print(f"Received Frame {m.frame_num} metrics:      Received Frame Parameters:")
+    print("---------------------------------------------------------")
+    print(f"Header Valid:     {int(m.header_valid):<6}      "
+          f"Modulation Scheme:   {s.mod_scheme}")
+    print(f"Payload Valid:    {int(m.payload_valid):<6}      "
+          f"Modulation bits/sym: {s.mod_bps}")
+    print(f"EVM:              {s.evm:<8.2f}    Check:               {s.check}")
+    print(f"RSSI:             {s.rssi:<8.2f}    Inner FEC:           {s.fec0}")
+    print(f"Frequency Offset: {s.cfo:<8.4f}    Outer FEC:           {s.fec1}")
+
+
+def _rate_ratio(target: float, source: float, max_den: int = 4096) -> tuple[int, int]:
+    """Integer up/down for source -> target rate.
+
+    Exact: config rates are rational multiples of each other (all reference
+    scenario rates are, e.g. 1.4e6 -> 13e6 is 65/7); if the exact ratio needs
+    a denominator beyond ``max_den`` this RAISES instead of silently
+    resampling to a slightly wrong rate."""
     from fractions import Fraction
 
-    fr = Fraction(target / source).limit_denominator(64)
+    exact = Fraction(target) / Fraction(source)  # floats are exact rationals
+    fr = exact.limit_denominator(max_den)
+    if fr != exact and abs(fr - exact) / exact > 1e-9:
+        raise ValueError(
+            f"rate ratio {target}/{source} is not a rational multiple with "
+            f"denominator <= {max_den}; pick rates with an exact ratio"
+        )
     return fr.numerator, fr.denominator

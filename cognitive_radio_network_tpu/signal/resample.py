@@ -32,26 +32,43 @@ def _resample_taps(up: int, down: int, taps_per_phase: int = 12) -> np.ndarray:
 def resample_poly(x, up: int, down: int):
     """Resample by up/down. complex or float 1-D (host numpy or jnp).
 
-    Zero-stuff by ``up``, low-pass at min Nyquist, take every ``down``-th.
-    Output length = ceil(len(x) * up / down).
+    Semantics: zero-stuff by ``up``, low-pass at min Nyquist (centered FIR,
+    delay-compensated), take every ``down``-th.  Output length =
+    ceil(len(x) * up / down).
+
+    Implementation is TRUE POLYPHASE: only the taps that hit nonzero
+    (stuffed) samples are touched, so the cost is taps_per_phase (~12) MACs
+    per OUTPUT sample regardless of ``up`` — the naive zero-stuff+convolve
+    would cost up*len(taps) per input (prohibitive for ratios like 65/7,
+    the reference's 1.4 MS/s link inside the 13 MS/s medium,
+    scenarios/predictive_model.cfg:40/:76).
     """
     g = math.gcd(up, down)
     up, down = up // g, down // g
     if up == 1 and down == 1:
         return x
-    taps = _resample_taps(up, down)
+    taps = _resample_taps(up, down).astype(np.float32)
     xnp = np.asarray(x)
-    upsampled = np.zeros(len(xnp) * up, dtype=xnp.dtype)
-    upsampled[::up] = xnp
-    # centered FIR (delay-compensated)
-    filt = np.convolve(upsampled, taps.astype(np.float32), mode="full")
+    n = len(xnp)
+    want = -(-n * up // down)
     delay = (len(taps) - 1) // 2
-    filt = filt[delay : delay + len(upsampled)]
-    out = filt[::down]
-    want = -(-len(xnp) * up // down)
-    if len(out) < want:
-        out = np.concatenate([out, np.zeros(want - len(out), xnp.dtype)])
-    return out[:want]
+    # out[m] = filt[m*down] with filt[i] = sum_q x[q] * taps[i + delay - up*q]
+    # Let i = m*down + delay, phase p = i % up, base q0 = i // up:
+    #   out[m] = sum_s x[q0 - s] * taps[p + up*s]
+    tpp = -(-len(taps) // up)  # taps per phase
+    tap_pad = np.zeros(up * tpp, np.float32)
+    tap_pad[: len(taps)] = taps
+    phases = tap_pad.reshape(tpp, up).T  # phases[p, s] = taps[p + up*s]
+    i = np.arange(want, dtype=np.int64) * down + delay
+    p = i % up
+    q0 = i // up
+    # pad x on both sides so every gather index is in range
+    xp = np.concatenate(
+        [np.zeros(tpp, xnp.dtype), xnp, np.zeros(tpp, xnp.dtype)]
+    )
+    idx = (q0[:, None] - np.arange(tpp)[None, :]) + tpp  # (want, tpp)
+    out = np.einsum("ms,ms->m", xp[idx], phases[p].astype(xnp.real.dtype))
+    return out.astype(xnp.dtype)
 
 
 def halfband_interp(x):

@@ -75,6 +75,109 @@ class TestFailureDetection:
         assert rt.terminated
 
 
+class TestUhdEventProducers:
+    """UHD_OVERFLOW / UHD_UNDERRUN end-to-end: injected faults surface as CE
+    events an engine can react to (src/extensible_cognitive_radio.cpp:1326-1347)."""
+
+    def test_overflow_injection_fires_ce_event(self):
+        from cognitive_radio_network_tpu.runtime.engine import (
+            CEEvent,
+            CognitiveEngine,
+            register_engine,
+        )
+
+        seen = []
+
+        @register_engine("CE_OverflowWatcher")
+        class CEOverflowWatcher(CognitiveEngine):
+            def execute(self):
+                if self.radio.CE_metrics.ce_event == CEEvent.UHD_OVERFLOW:
+                    seen.append(self.radio.CE_metrics.time_s)
+                    # react: an engine would e.g. back off the rx rate
+                    self.radio.set_rx_gain(self.radio.get_rx_gain() - 1.0)
+
+        cfg = _tiny_scenario()
+        cfg.nodes[0].cognitive_engine = "CE_OverflowWatcher"
+        cfg.nodes[0].rx_overflow_interval = 3  # drop every 3rd rx block
+        rt = ScenarioRuntime(cfg)
+        rt.run()
+        import math
+        n_blocks = math.ceil(cfg.run_time * cfg.medium_rate / cfg.medium_block_len)
+        assert len(seen) == n_blocks // 3
+        assert rt.nodes[0].radio.get_rx_gain() == -float(len(seen))
+        # the lost blocks also count as overflows in the rx statistics
+        assert rt.nodes[0].radio.stats.overflows == len(seen)
+
+    def test_underrun_fires_when_tx_starves_mid_burst(self):
+        from cognitive_radio_network_tpu.runtime.engine import (
+            CEEvent,
+            CognitiveEngine,
+            register_engine,
+        )
+
+        seen = []
+
+        @register_engine("CE_UnderrunWatcher")
+        class CEUnderrunWatcher(CognitiveEngine):
+            def execute(self):
+                if self.radio.CE_metrics.ce_event == CEEvent.UHD_UNDERRUN:
+                    seen.append(self.radio.CE_metrics.time_s)
+
+        cfg = _tiny_scenario()
+        cfg.nodes[0].cognitive_engine = "CE_UnderrunWatcher"
+        cfg.nodes[0].tx_underrun_detect = True
+        # sparse traffic: frames can't fill every 4096-sample block, so the
+        # continuous tx stream starves between packets -> underruns
+        cfg.nodes[0].net_mean_throughput = 3e4
+        rt = ScenarioRuntime(cfg)
+        rt.run()
+        assert len(seen) >= 1
+
+    def test_no_underrun_without_detect_flag(self):
+        from cognitive_radio_network_tpu.runtime.engine import CEEvent
+
+        cfg = _tiny_scenario()
+        cfg.nodes[0].net_mean_throughput = 3e4
+        rt = ScenarioRuntime(cfg)
+        rt.run()  # default tx_underrun_detect=False: no events produced
+        assert not any(
+            ev.ce_event == CEEvent.UHD_UNDERRUN
+            for ev in rt.nodes[0].radio._events
+        )
+
+
+class TestRateRatio:
+    def test_reference_rate_exact(self):
+        from cognitive_radio_network_tpu.runtime.radio import _rate_ratio
+
+        # the reference PU link: 1.4 MS/s inside the 13 MS/s medium
+        assert _rate_ratio(13e6, 1.4e6) == (65, 7)
+        assert _rate_ratio(1.4e6, 13e6) == (7, 65)
+
+    def test_inexact_ratio_raises(self):
+        from cognitive_radio_network_tpu.runtime.radio import _rate_ratio
+
+        with pytest.raises(ValueError, match="rational"):
+            _rate_ratio(np.pi * 1e6, 1e6)
+
+
+class TestPrintRxFrameMetrics:
+    def test_flag_flips_console_output(self, capsys):
+        cfg = _tiny_scenario()
+        cfg.run_time = 0.05
+        cfg.nodes[1].print_rx_frame_metrics = True
+        rt = ScenarioRuntime(cfg)
+        rt.run()
+        out = capsys.readouterr().out
+        frames = sum(len(n.radio.stats.records) for n in rt.nodes)
+        if frames:  # received frames must have printed the metrics table
+            assert "Received Frame" in out and "Payload Valid" in out
+        # and with the flag off (default), nothing prints
+        rt2 = ScenarioRuntime(_tiny_scenario())
+        rt2.run()
+        assert "Received Frame" not in capsys.readouterr().out
+
+
 PYTHON_RADIO = '''
 import numpy as np
 
