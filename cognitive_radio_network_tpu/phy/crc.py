@@ -11,10 +11,19 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["crc_generate", "crc_validate", "crc_sizes", "SCHEMES", "crc32_jnp"]
+__all__ = [
+    "crc_generate",
+    "crc_validate",
+    "crc_sizes",
+    "SCHEMES",
+    "crc32_jnp",
+    "crc16_jnp",
+    "crc_check_jnp",
+]
 
 SCHEMES = ("none", "checksum", "crc16", "crc32")
 
@@ -141,3 +150,70 @@ def crc32_jnp(data_bytes) -> jnp.ndarray:
     init = jnp.full((flat.shape[0],), 0xFFFFFFFF, jnp.uint32)
     c, _ = jax.lax.scan(step, init, flat.T)
     return (c ^ jnp.uint32(0xFFFFFFFF)).reshape(data.shape[:-1])
+
+
+def crc16_jnp(data_bytes) -> jnp.ndarray:
+    """Batched in-graph CRC-16/IBM over the last axis of uint8 (..., L)."""
+    import jax
+
+    table = jnp.asarray(_crc16_table(), jnp.uint32)
+    data = jnp.asarray(data_bytes, jnp.uint8)
+    flat = data.reshape(-1, data.shape[-1])
+
+    def step(c, b):
+        idx = (c ^ b.astype(jnp.uint32)) & 0xFF
+        return (table[idx] ^ (c >> 8)) & 0xFFFF, None
+
+    init = jnp.full((flat.shape[0],), 0xFFFF, jnp.uint32)
+    c, _ = jax.lax.scan(step, init, flat.T)
+    return c.reshape(data.shape[:-1])
+
+
+@functools.lru_cache(maxsize=None)
+def _crc_matrix(scheme: str, n_bytes: int) -> tuple[np.ndarray, np.ndarray]:
+    """GF(2) form of the CRC: crc_bits(x) = (M^T x_bits) mod 2 XOR c0.
+
+    CRCs are affine over GF(2), so column j of M is crc(e_j) ^ crc(0) —
+    computed once per (scheme, message length) with the batched host CRC.
+    Turns the in-graph check from a ~N-step lax.scan into ONE int8 matmul."""
+    zero = np.zeros((1, n_bytes), np.uint8)
+    c0 = np.unpackbits(crc_generate_batch(scheme, zero)[0])
+    nb = n_bytes * 8
+    msgs = np.zeros((nb, n_bytes), np.uint8)
+    idx = np.arange(nb)
+    msgs[idx, idx // 8] = (0x80 >> (idx % 8)).astype(np.uint8)
+    cols = np.unpackbits(crc_generate_batch(scheme, msgs), axis=1) ^ c0
+    return cols.astype(np.int8), c0.astype(np.uint8)
+
+
+def crc_check_jnp(scheme: str, data_with_check) -> jnp.ndarray:
+    """Batched in-graph validity check: uint8 (..., N + crc_sizes) -> bool (...).
+
+    Same contract as :func:`crc_validate`, vectorized over leading axes so
+    many frames validate in one rx graph.  crc16/crc32 go through the GF(2)
+    matrix (one MXU int8 matmul, exact) instead of a byte-serial scan."""
+    k = crc_sizes(scheme)
+    dwc = jnp.asarray(data_with_check, jnp.uint8)
+    if k == 0:
+        return jnp.ones(dwc.shape[:-1], bool)
+    data, chk = dwc[..., :-k], dwc[..., -k:]
+    if scheme == "checksum":
+        comp = ((jnp.sum(data.astype(jnp.uint32), axis=-1) & 0xFF)[..., None]).astype(
+            jnp.uint8
+        )
+    else:
+        from cognitive_radio_network_tpu.phy.bits import (
+            pack_bits_jnp,
+            unpack_bits_jnp,
+        )
+
+        cols, c0 = _crc_matrix(scheme, data.shape[-1])
+        bits = unpack_bits_jnp(data).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            bits,
+            jnp.asarray(cols),
+            dimension_numbers=(((bits.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        comp = pack_bits_jnp((acc & 1).astype(jnp.uint8) ^ jnp.asarray(c0))
+    return jnp.all(comp == chk, axis=-1)

@@ -26,6 +26,7 @@ __all__ = [
     "encoded_length",
     "encode",
     "decode",
+    "decode_bits_jnp",
     "conv_encode_bits",
     "viterbi_decode_bits",
     "viterbi_decode_jnp",
@@ -270,9 +271,11 @@ def viterbi_decode_jnp(coded_bits: jax.Array, n_bits: int) -> jax.Array:
     for s in range(64):
         for b in range(2):
             inv[ns[s, b]].append((s, b))
-    inv_s = jnp.asarray([[p[0] for p in lst] for lst in inv], jnp.int32)
-    inv_b = jnp.asarray([[p[1] for p in lst] for lst in inv], jnp.int32)
-    inv_o = jnp.asarray(np.asarray(out)[np.asarray(inv_s), np.asarray(inv_b)], jnp.int32)
+    inv_s_np = np.array([[p[0] for p in lst] for lst in inv], np.int32)
+    inv_b_np = np.array([[p[1] for p in lst] for lst in inv], np.int32)
+    inv_s = jnp.asarray(inv_s_np)
+    inv_b = jnp.asarray(inv_b_np)
+    inv_o = jnp.asarray(out[inv_s_np, inv_b_np], jnp.int32)
 
     coded = jnp.asarray(coded_bits, jnp.uint8)
     batch_shape = coded.shape[:-1]
@@ -309,6 +312,40 @@ def viterbi_decode_jnp(coded_bits: jax.Array, n_bits: int) -> jax.Array:
     # reverse scan emits ys aligned with inputs: bits_rev[t] is bit at time t
     bits = bits_rev.T  # (B, T)
     return bits[:, :n_bits].reshape(*batch_shape, n_bits)
+
+
+def decode_bits_jnp(scheme: str, bits: jax.Array, n_dec: int) -> jax.Array:
+    """Batched in-graph decode: coded BITS (..., n_bits) -> bytes (..., n_dec).
+
+    Bit-identical to the host :func:`decode` (which takes packed bytes); used
+    by the rx graph so FEC stays on-device — table codes are one gather each,
+    v27 is :func:`viterbi_decode_jnp`."""
+    from cognitive_radio_network_tpu.phy.bits import pack_bits_jnp
+
+    bits = jnp.asarray(bits, jnp.uint8)
+    lead = bits.shape[:-1]
+    if scheme == "none":
+        return pack_bits_jnp(bits[..., : n_dec * 8])
+    if scheme == "rep3":
+        a = pack_bits_jnp(bits[..., : 24 * n_dec])
+        x = a[..., :n_dec].astype(jnp.uint32)
+        y = a[..., n_dec : 2 * n_dec].astype(jnp.uint32)
+        z = a[..., 2 * n_dec : 3 * n_dec].astype(jnp.uint32)
+        return ((x & y) | (x & z) | (y & z)).astype(jnp.uint8)
+    if scheme == "h74":
+        _, dec = _h74_tables()
+        cw = bits[..., : n_dec * 14].reshape(*lead, 2 * n_dec, 7).astype(jnp.int32)
+        pow2 = (1 << jnp.arange(6, -1, -1, dtype=jnp.int32))
+        vals = jnp.asarray(dec)[jnp.sum(cw * pow2, axis=-1)]
+        return ((vals[..., 0::2] << 4) | vals[..., 1::2]).astype(jnp.uint8)
+    if scheme == "h128":
+        dec = _h128_decode_table()
+        cw = bits[..., : n_dec * 12].reshape(*lead, n_dec, 12).astype(jnp.int32)
+        pow2 = (1 << jnp.arange(11, -1, -1, dtype=jnp.int32))
+        return jnp.asarray(dec)[jnp.sum(cw * pow2, axis=-1)].astype(jnp.uint8)
+    if scheme == "v27":
+        return pack_bits_jnp(viterbi_decode_jnp(bits, 8 * n_dec))
+    raise ValueError(f"unknown fec scheme: {scheme}")
 
 
 # --- byte-level registry ----------------------------------------------------

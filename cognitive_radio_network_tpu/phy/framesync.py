@@ -16,12 +16,21 @@ block-oriented and batched instead:
   ride in the coded PHY header, so :class:`StreamReceiver` first demods the
   fixed-size header region, then dispatches to a cached demod graph for that
   payload configuration;
-* **decode** (host): FEC + CRC bit-plumbing, emitting a
-  :class:`FrameSyncStats` record with the fields of the vendored
-  framesyncstats contract (framesyncstats.c:39-55).
+* **decode** (in-graph): FEC (table codes as gathers, Viterbi as a
+  lax.scan) + CRC (table-scan) run batched on-device inside the same rx
+  graph, emitting a :class:`FrameSyncStats` record with the fields of the
+  vendored framesyncstats contract (framesyncstats.c:39-55).
 
 Streaming state across block boundaries (a frame straddling two blocks) is
 carried by the receiver's residual buffer — overlap-save at the frame scale.
+
+Dispatch discipline (the rx path replaces the reference's per-sample hot
+loop, src/extensible_cognitive_radio.cpp:1299-1366, so it must be
+batch-efficient): :meth:`StreamReceiver.process` issues O(1) device
+dispatches per block — one fused scan (top-K Schmidl&Cox detection + header
+demod + header FEC/CRC decode for all K candidates at once) plus one fused
+demod+decode per distinct payload configuration present in the block
+(usually one).
 """
 
 from __future__ import annotations
@@ -36,7 +45,6 @@ import numpy as np
 from cognitive_radio_network_tpu.phy import crc as crc_mod
 from cognitive_radio_network_tpu.phy import fec as fec_mod
 from cognitive_radio_network_tpu.phy import modem
-from cognitive_radio_network_tpu.phy.bits import pack_bits
 from cognitive_radio_network_tpu.phy.framegen import (
     HEADER_BYTES,
     TOTAL_HEADER_BYTES,
@@ -69,16 +77,6 @@ class FrameSyncStats:
     payload_valid: bool
 
 
-def _decode_header_bits(hdr_bits: np.ndarray):
-    """coded header bits -> (user_header(8), phy_header(6), crc_ok)."""
-    enc = pack_bits(hdr_bits)
-    dec = fec_mod.decode(
-        _HEADER_FEC, enc, TOTAL_HEADER_BYTES + crc_mod.crc_sizes(_HEADER_CRC)
-    )
-    ok = crc_mod.crc_validate(_HEADER_CRC, dec)
-    return dec[:HEADER_BYTES], dec[HEADER_BYTES:TOTAL_HEADER_BYTES], bool(ok)
-
-
 class OFDMFrameSync:
     """Fixed-configuration synchronizer (both sides share the frame config)."""
 
@@ -86,7 +84,8 @@ class OFDMFrameSync:
         self.cfg = cfg
         self.payload_len = payload_len
         self.gen = OFDMFrameGen(cfg, payload_len)  # shares sizing/preambles
-        self._demod = jax.jit(functools.partial(_demod_graph, self.gen))
+        self._rx = jax.jit(functools.partial(_rx_graph, self.gen))
+        self._rx_at = jax.jit(functools.partial(_rx_at_graph, self.gen))
 
     # -- detection ------------------------------------------------------
 
@@ -96,10 +95,27 @@ class OFDMFrameSync:
 
     # -- aligned demodulation ------------------------------------------
 
+    def _stats_from(self, out: dict, i: int) -> FrameSyncStats:
+        g = self.gen
+        return FrameSyncStats(
+            evm=float(out["evm_db"][i]),
+            rssi=float(out["rssi_db"][i]),
+            cfo=float(out["cfo"][i]),
+            num_framesyms=g.num_symbols,
+            mod_scheme=self.cfg.mod_scheme,
+            mod_bps=g.bps,
+            check=self.cfg.crc_scheme,
+            fec0=self.cfg.fec0,
+            fec1=self.cfg.fec1,
+            header_valid=bool(out["hdr_ok"][i]),
+            payload_valid=bool(out["pay_ok"][i]),
+        )
+
     def demod_aligned(self, iq, cfo=None):
         """Frame-aligned IQ (B, frame_len) [complex or planes] -> decoded.
 
         Returns (stats list[FrameSyncStats], headers (B,8), payloads (B,P)).
+        ONE device dispatch: demod + FEC + CRC run fused in-graph.
         """
         re, im = split_iq(iq)
         if re.ndim == 1:
@@ -110,47 +126,58 @@ class OFDMFrameSync:
             if cfo is None
             else jnp.asarray(cfo, jnp.float32).reshape(b)
         )
-        out = self._demod(re, im, cfo_arr)
-        hdr_bits = np.asarray(out["header_bits"])
-        pay_bits = np.asarray(out["payload_bits"])
-        evm = np.asarray(out["evm_db"])
-        rssi = np.asarray(out["rssi_db"])
-        cfo_np = np.asarray(cfo_arr)
+        out = {k: np.asarray(v) for k, v in self._rx(re, im, cfo_arr).items()}
+        stats = [self._stats_from(out, i) for i in range(b)]
+        return stats, out["headers"], out["payloads"]
 
-        g = self.gen
-        stats, headers, payloads = [], [], []
-        for i in range(b):
-            header, _phy, hdr_ok = _decode_header_bits(hdr_bits[i])
-            pay_enc = pack_bits(pay_bits[i])
-            n0 = fec_mod.encoded_length(
-                self.cfg.fec0,
-                self.payload_len + crc_mod.crc_sizes(self.cfg.crc_scheme),
+    def decode_at(self, rr, ri, offsets, cfos) -> dict:
+        """Batched gather+demod+decode at dynamic frame offsets.
+
+        rr/ri: (N,) device planes; offsets/cfos: (G,).  Returns the rx dict
+        (device arrays).  One dispatch; used by :class:`StreamReceiver`."""
+        return self._rx_at(rr, ri, jnp.asarray(offsets, jnp.int32), jnp.asarray(cfos, jnp.float32))
+
+    def rx_block_fn(self, k: int = 16):
+        """Jitted ONE-dispatch fixed-config block receiver for up to ``k``
+        frames: (rr, ri, n_valid) -> (bests, peaks, cfos, rx dict, ok).
+        Device-level (no host fetch), so calls pipeline — the full-rate rx
+        path for benches and the sharded link."""
+        cache = getattr(self, "_rx_block_cache", None)
+        if cache is None:
+            cache = self._rx_block_cache = {}
+        if k not in cache:
+            cache[k] = jax.jit(
+                functools.partial(_receive_block_graph, self.gen, k=k)
             )
-            inner = fec_mod.decode(self.cfg.fec1, pay_enc, n0)
-            pay_dec = fec_mod.decode(
-                self.cfg.fec0,
-                inner,
-                self.payload_len + crc_mod.crc_sizes(self.cfg.crc_scheme),
+        return cache[k]
+
+    def receive_block(self, iq, threshold: float = 0.2, k: int = 16):
+        """Host convenience over :meth:`rx_block_fn`: returns the frames
+        decoded from one block as a list of {offset, stats, header, payload},
+        sorted by offset, duplicates/overlaps suppressed."""
+        re_np, im_np = _to_np_planes(iq)
+        n = re_np.shape[0]
+        bests, peaks, cfos, out, ok = self.rx_block_fn(k)(
+            jnp.asarray(re_np), jnp.asarray(im_np), jnp.int32(n)
+        )
+        bests, peaks = np.asarray(bests), np.asarray(peaks)
+        ok = np.asarray(ok)
+        out = {kk: np.asarray(v) for kk, v in out.items()}
+        frames, consumed_end = [], 0
+        for i in np.argsort(bests, kind="stable"):
+            off = int(bests[i])
+            if peaks[i] < threshold or not ok[i] or off < consumed_end:
+                continue
+            frames.append(
+                {
+                    "offset": off,
+                    "stats": self._stats_from(out, int(i)),
+                    "header": out["headers"][i],
+                    "payload": out["payloads"][i],
+                }
             )
-            pay_ok = crc_mod.crc_validate(self.cfg.crc_scheme, pay_dec)
-            stats.append(
-                FrameSyncStats(
-                    evm=float(evm[i]),
-                    rssi=float(rssi[i]),
-                    cfo=float(cfo_np[i]),
-                    num_framesyms=g.num_symbols,
-                    mod_scheme=self.cfg.mod_scheme,
-                    mod_bps=g.bps,
-                    check=self.cfg.crc_scheme,
-                    fec0=self.cfg.fec0,
-                    fec1=self.cfg.fec1,
-                    header_valid=hdr_ok,
-                    payload_valid=bool(pay_ok),
-                )
-            )
-            headers.append(header)
-            payloads.append(pay_dec[: self.payload_len])
-        return stats, np.stack(headers), np.stack(payloads)
+            consumed_end = off + self.gen.frame_len
+        return frames
 
     def receive(self, iq, threshold: float = 0.2):
         """Detect + demod the first frame in a block (fixed config).
@@ -175,24 +202,17 @@ class OFDMFrameSync:
 # ----------------------------------------------------------------------
 
 
-def _detect_core(rr: jax.Array, ri: jax.Array, n_valid: jax.Array,
-                 tmpl_r: np.ndarray, tmpl_i: np.ndarray, m: int):
-    """S&C coarse detect + matched-filter fine timing (jittable core).
+def _sc_metric(r: jax.Array, n_valid: jax.Array, m: int):
+    """Schmidl&Cox plateau metric over a whole block.
 
-    rr/ri: float32 planes (N,) zero-padded; n_valid: true length (dynamic
-    scalar, so one compilation serves every block of the same padded bucket
-    size).  Complex is formed INSIDE the graph; the template arrives as two
-    numpy real constants (complex device constants cannot be embedded on
-    backends that cannot transfer complex buffers)."""
-    r = rr + 1j * ri
-    tmpl = jnp.asarray(tmpl_r) + 1j * jnp.asarray(tmpl_i)
+    Returns (metric (N-ish,), p (autocorrelation sums), half).  Normalized
+    by the energy of BOTH halves of the correlation window — one-sided
+    normalization explodes when the early half is pure noise."""
     half = m // 2
     lag = r[half:] * jnp.conj(r[:-half])
     win = 2 * m - half
     c = jnp.cumsum(jnp.concatenate([jnp.zeros(1, lag.dtype), lag]))
     p = c[win:] - c[:-win]
-    # normalize by the energy of BOTH halves of the correlation window —
-    # one-sided normalization explodes when the early half is pure noise
     pw = jnp.abs(r) ** 2
     cw = jnp.cumsum(jnp.concatenate([jnp.zeros(1), pw]))
     e1 = cw[win:-half] - cw[: -(win + half)]
@@ -204,27 +224,83 @@ def _detect_core(rr: jax.Array, ri: jax.Array, n_valid: jax.Array,
     # mask positions whose correlation window reaches past the valid samples
     idx = jnp.arange(metric.shape[0])
     metric = jnp.where(idx <= n_valid - (win + half), metric, -1.0)
-    coarse = jnp.argmax(metric)
-    cfo = jnp.angle(p[coarse]) / half
+    return metric, p, half
 
-    # The S&C metric plateaus (|P| and R shrink together during partial
-    # overlap), so refine with a CFO-corrected matched filter against the
-    # known 2x-S0 template around the coarse peak.
+
+def _refine(rr, ri, metric, p, half, coarses, tmpl, n_valid, m):
+    """CFO-corrected matched-filter timing refinement, vectorized over K
+    coarse candidates.  The S&C metric plateaus (|P| and R shrink together
+    during partial overlap), so snap to the known 2x-S0 template.
+
+    Window extraction is ONE contiguous DMA per candidate (extract_windows)
+    followed by static slicing — never a fancy-index gather, which XLA
+    lowers element-at-a-time on TPU."""
+    from cognitive_radio_network_tpu.ops.extract import extract_windows
+
     tlen = tmpl.shape[0]
     span = 2 * m
-    k = jnp.arange(tlen)
-    rot = jnp.exp(-1j * cfo * k.astype(jnp.float32))
-    starts = jnp.clip(
-        coarse - span + jnp.arange(2 * span + 1), 0, jnp.maximum(n_valid - tlen, 0)
+    s_count = 2 * span + 1
+    wlen = s_count - 1 + tlen
+    cfo0 = jnp.angle(p[jnp.clip(coarses, 0, p.shape[0] - 1)]) / half  # (K,)
+    rot = jnp.exp(
+        -1j * cfo0[:, None] * jnp.arange(tlen)[None, :].astype(jnp.float32)
     )
-    wins = r[starts[:, None] + k[None, :]]
-    xc = jnp.abs(jnp.sum(wins * rot[None] * jnp.conj(tmpl)[None], axis=-1)) ** 2
+    base = jnp.clip(coarses - span, 0, max(rr.shape[0] - wlen, 0))
+    wr, wi = extract_windows(rr, ri, base, wlen)  # (K, wlen) each
+    w = wr + 1j * wi
+    wins = jnp.stack(
+        [w[:, s : s + tlen] for s in range(s_count)], axis=1
+    )  # (K, S, tlen)
+    q = rot * jnp.conj(tmpl)[None, :]
+    xc = jnp.abs(jnp.einsum("ksj,kj->ks", wins, q)) ** 2
     we = jnp.sum(jnp.abs(wins) ** 2, axis=-1)
-    fine = jnp.argmax(xc / jnp.maximum(we, 1e-12))
-    best = starts[fine]
+    fine = jnp.argmax(xc / jnp.maximum(we, 1e-12), axis=-1)
+    best = base + fine
     cfo = jnp.angle(p[jnp.clip(best, 0, p.shape[0] - 1)]) / half
     peak = metric[jnp.clip(best, 0, metric.shape[0] - 1)]
-    return peak, best, cfo
+    return best, peak, cfo
+
+
+def _detect_core(rr: jax.Array, ri: jax.Array, n_valid: jax.Array,
+                 tmpl_r: np.ndarray, tmpl_i: np.ndarray, m: int):
+    """S&C coarse detect + matched-filter fine timing (jittable core).
+
+    rr/ri: float32 planes (N,) zero-padded; n_valid: true length (dynamic
+    scalar, so one compilation serves every block of the same padded bucket
+    size).  Complex is formed INSIDE the graph; the template arrives as two
+    numpy real constants (complex device constants cannot be embedded on
+    backends that cannot transfer complex buffers)."""
+    r = rr + 1j * ri
+    tmpl = jnp.asarray(tmpl_r) + 1j * jnp.asarray(tmpl_i)
+    metric, p, half = _sc_metric(r, n_valid, m)
+    coarse = jnp.argmax(metric)
+    best, peak, cfo = _refine(
+        rr, ri, metric, p, half, coarse[None], tmpl, n_valid, m
+    )
+    return peak[0], best[0], cfo[0]
+
+
+def _topk_core(rr, ri, metric, p, half, tmpl, n_valid, m, k: int):
+    """Top-K candidate detection, fully parallel (no sequential argmax
+    loop, so K can be large): windowed local maxima (window 2m, which
+    suppresses one frame's metric plateau — distinct frames are
+    >= prefix_len >> 2m apart) -> non-max suppression against neighbor
+    windows -> lax.top_k -> one vectorized refinement pass.
+    Returns (bests (K',), peaks (K',), cfos (K',)) with K' = min(K, #windows)."""
+    w = 2 * m
+    nwin = -(-metric.shape[0] // w)
+    mm = jnp.pad(metric, (0, nwin * w - metric.shape[0]), constant_values=-1.0)
+    wm = mm.reshape(nwin, w)
+    wmax = jnp.max(wm, axis=1)
+    warg = jnp.argmax(wm, axis=1) + jnp.arange(nwin) * w
+    left = jnp.concatenate([jnp.full(1, -jnp.inf), wmax[:-1]])
+    right = jnp.concatenate([wmax[1:], jnp.full(1, -jnp.inf)])
+    cand = (wmax >= left) & (wmax > right)  # ties resolve to the right window
+    vals = jnp.where(cand, wmax, -1.0)
+    keff = min(k, nwin)
+    _topv, topi = jax.lax.top_k(vals, keff)
+    coarses = warg[topi]
+    return _refine(rr, ri, metric, p, half, coarses, tmpl, n_valid, m)
 
 
 @functools.lru_cache(maxsize=64)
@@ -272,6 +348,27 @@ def _detect(gen: OFDMFrameGen, iq):
     return det(jnp.asarray(rr), jnp.asarray(ri), jnp.int32(n))
 
 
+def _dft_mm(x: jax.Array, m: int) -> jax.Array:
+    """DFT along the last axis (length m) as a real-split matmul — XLA's
+    complex FFT on TPU is slow at these tiny sizes, while a (rows, m)@(m, m)
+    pair of f32 matmuls rides the MXU."""
+    ang = -2.0 * np.pi * np.outer(np.arange(m), np.arange(m)) / m
+    wre = np.cos(ang).astype(np.float32)
+    wim = np.sin(ang).astype(np.float32)
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = jnp.imag(x).astype(jnp.float32)
+
+    def mm(a, b):
+        return jnp.matmul(
+            a, b, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    yr = mm(xr, wre) - mm(xi, wim)
+    yi = mm(xr, wim) + mm(xi, wre)
+    return (yr + 1j * yi).astype(jnp.complex64)
+
+
 def _equalized_data_points(gen: OFDMFrameGen, r: jax.Array, cfo: jax.Array,
                            num_symbols: int):
     """r: (B, 2m + m+cp + num_symbols*(m+cp)) aligned at S0. Returns
@@ -290,13 +387,13 @@ def _equalized_data_points(gen: OFDMFrameGen, r: jax.Array, cfo: jax.Array,
     body = r[:, s1_start + m :]
     sym = body.reshape(b, num_symbols, m + cp)[:, :, cp:]
 
-    y1 = jnp.fft.fft(s1_t, axis=-1) / np.sqrt(m)
+    y1 = _dft_mm(s1_t, m) / np.sqrt(m)
     x1 = jnp.asarray(gen.S1_freq)
     act = jnp.asarray(gen.active_idx)
     h = jnp.ones((b, m), jnp.complex64)
     h = h.at[:, act].set(y1[:, act] * jnp.conj(x1[act]) / (jnp.abs(x1[act]) ** 2))
 
-    y = jnp.fft.fft(sym, axis=-1) / np.sqrt(m)
+    y = _dft_mm(sym, m) / np.sqrt(m)
     yeq = y / (h[:, None, :] + 1e-12)
 
     if len(gen.pilot_idx):
@@ -353,6 +450,105 @@ def _header_demod_graph(gen: OFDMFrameGen, re, im, cfo):
     return hdr_syms[:, : gen.n_header_bits].astype(jnp.uint8), rssi
 
 
+def _decode_header_graph(hdr_bits):
+    """Coded header bits (B, n) -> (user (B,8), phy (B,6), crc_ok (B,))."""
+    n_hdr_dec = TOTAL_HEADER_BYTES + crc_mod.crc_sizes(_HEADER_CRC)
+    hdr_dec = fec_mod.decode_bits_jnp(_HEADER_FEC, hdr_bits, n_hdr_dec)
+    hdr_ok = crc_mod.crc_check_jnp(_HEADER_CRC, hdr_dec)
+    return (
+        hdr_dec[:, :HEADER_BYTES],
+        hdr_dec[:, HEADER_BYTES:TOTAL_HEADER_BYTES],
+        hdr_ok,
+    )
+
+
+def _rx_graph(gen: OFDMFrameGen, re, im, cfo):
+    """Fused frame receive: demod + header/payload FEC + CRC, all in-graph.
+
+    re/im: (B, frame_len).  Replaces the reference's per-frame host decode
+    (liquid fec_decode + crc inside rxCallback,
+    src/extensible_cognitive_radio.cpp:1385-1454) with one batched graph."""
+    from cognitive_radio_network_tpu.phy.bits import unpack_bits_jnp
+
+    out = _demod_graph(gen, re, im, cfo)
+    cfg = gen.cfg
+    headers, phy, hdr_ok = _decode_header_graph(out["header_bits"])
+    n_dec = gen.payload_len + crc_mod.crc_sizes(cfg.crc_scheme)
+    n0 = fec_mod.encoded_length(cfg.fec0, n_dec)
+    inner = fec_mod.decode_bits_jnp(cfg.fec1, out["payload_bits"], n0)
+    pay_dec = fec_mod.decode_bits_jnp(cfg.fec0, unpack_bits_jnp(inner), n_dec)
+    pay_ok = crc_mod.crc_check_jnp(cfg.crc_scheme, pay_dec)
+    return {
+        "headers": headers,
+        "phy": phy,
+        "payloads": pay_dec[:, : gen.payload_len],
+        "hdr_ok": hdr_ok,
+        "pay_ok": pay_ok,
+        "evm_db": out["evm_db"],
+        "rssi_db": out["rssi_db"],
+        "cfo": jnp.asarray(cfo, jnp.float32),
+    }
+
+
+def _rx_at_graph(gen: OFDMFrameGen, rr, ri, offsets, cfos):
+    """Gather frames at dynamic offsets from a block, then fused receive.
+
+    rr/ri: (N,) planes; offsets (G,) int32; cfos (G,) float32.  Frame
+    windows are contiguous DMA rows, not a fancy-index gather."""
+    from cognitive_radio_network_tpu.ops.extract import extract_windows
+
+    fre, fim = extract_windows(rr, ri, offsets, gen.frame_len)
+    return _rx_graph(gen, fre, fim, cfos)
+
+
+def _receive_block_graph(gen: OFDMFrameGen, rr, ri, n_valid, *, k: int):
+    """ONE-dispatch fixed-config block receive: top-K detect + gather +
+    demod + FEC + CRC, fused.  Returns (bests, peaks, cfos, rx dict, ok)
+    where ok = header CRC & payload fits inside the valid samples.
+
+    This is the TPU replacement for liquid's per-sample streaming
+    synchronizer at full rate (ofdmflexframesync_execute inside
+    ECR_rx_worker, src/extensible_cognitive_radio.cpp:1299-1366): dispatches
+    pipeline on the device, so throughput is compute-bound, not
+    host-round-trip-bound."""
+    m = gen.cfg.num_subcarriers
+    tmpl_np = np.concatenate([gen.S0_time, gen.S0_time]).astype(np.complex64)
+    r = rr + 1j * ri
+    tmpl = jnp.asarray(tmpl_np.real) + 1j * jnp.asarray(tmpl_np.imag)
+    metric, p, half = _sc_metric(r, n_valid, m)
+    bests, peaks, cfos = _topk_core(rr, ri, metric, p, half, tmpl, n_valid, m, k)
+    out = _rx_at_graph(gen, rr, ri, bests, cfos)
+    ok = out["hdr_ok"] & (bests + gen.frame_len <= n_valid)
+    return bests, peaks, cfos, out, ok
+
+
+def _scan_block_graph(layout: OFDMFrameGen, rr, ri, n_valid, *, k: int):
+    """One-dispatch block scan: top-K S&C candidates + header demod +
+    header FEC/CRC decode for all K at once.
+
+    Returns (bests, peaks, cfos, headers (K,8), phy (K,6), hdr_ok (K,))
+    with hdr_ok False for candidates whose header region overruns the
+    valid samples."""
+    from cognitive_radio_network_tpu.ops.extract import extract_windows
+
+    m = layout.cfg.num_subcarriers
+    tmpl_np = np.concatenate([layout.S0_time, layout.S0_time]).astype(np.complex64)
+    r = rr + 1j * ri
+    tmpl = jnp.asarray(tmpl_np.real) + 1j * jnp.asarray(tmpl_np.imag)
+    metric, p, half = _sc_metric(r, n_valid, m)
+    bests, peaks, cfos = _topk_core(rr, ri, metric, p, half, tmpl, n_valid, m, k)
+    pref = (
+        2 * m
+        + (m + layout.cfg.cp_len)
+        + layout.n_header_syms * (m + layout.cfg.cp_len)
+    )
+    pre_r, pre_i = extract_windows(rr, ri, bests, pref)
+    hdr_bits, _rssi = _header_demod_graph(layout, pre_r, pre_i, cfos)
+    headers, phy, hdr_ok = _decode_header_graph(hdr_bits)
+    hdr_ok = hdr_ok & (bests + pref <= n_valid)
+    return bests, peaks, cfos, headers, phy, hdr_ok
+
+
 # ----------------------------------------------------------------------
 # adaptive streaming receiver
 # ----------------------------------------------------------------------
@@ -362,14 +558,20 @@ class StreamReceiver:
     """liquid-style adaptive receiver: only the OFDM geometry (subcarriers,
     CP, taper, allocation) is fixed; payload length/mod/FEC/CRC come from
     each frame's PHY header.  Feed arbitrary IQ blocks; frames straddling
-    block boundaries are handled by a residual buffer."""
+    block boundaries are handled by a residual buffer.
+
+    Dispatch discipline: O(1) device dispatches per block — one fused scan
+    (top-K detection + batched header demod/decode) + one fused batched
+    demod+decode per distinct payload configuration in the block."""
 
     def __init__(self, cfg: OFDMFrameConfig, max_frames_per_block: int = 16):
         self.cfg = cfg
         self.layout = OFDMFrameGen(cfg, payload_len=1)
         m, cp = cfg.num_subcarriers, cfg.cp_len
         self.prefix_len = 2 * m + (m + cp) + self.layout.n_header_syms * (m + cp)
-        self._hdr_demod = jax.jit(functools.partial(_header_demod_graph, self.layout))
+        self._scan = jax.jit(
+            functools.partial(_scan_block_graph, self.layout, k=max_frames_per_block)
+        )
         self._syncs: dict[tuple, OFDMFrameSync] = {}
         self.max_frames_per_block = max_frames_per_block
         self._residual = np.zeros(0, np.complex64)
@@ -394,63 +596,78 @@ class StreamReceiver:
         block = re_np + 1j * im_np
         buf = np.concatenate([self._residual, block.astype(np.complex64)])
         base = self._residual_offset
-        frames = []
-        cursor = 0
+        n = len(buf)
         # position to keep from for the next block: by default just a
         # preamble-sized tail; an incomplete frame pulls it back to its start
-        keep_from = max(len(buf) - self.prefix_len, 0)
-        for _ in range(self.max_frames_per_block):
-            segment = buf[cursor:]
-            if len(segment) < self.prefix_len + 4 * self.cfg.num_subcarriers:
-                break
-            peak, best, cfo = _detect(self.layout, segment)
-            best = int(best)
-            if float(peak) < threshold:
-                break
-            if best + self.prefix_len > len(segment):
-                keep_from = min(keep_from, cursor + best)
-                break  # header region incomplete; wait for more samples
-            prefix = segment[best : best + self.prefix_len]
-            hdr_bits, _ = self._hdr_demod(
-                jnp.asarray(np.real(prefix))[None],
-                jnp.asarray(np.imag(prefix))[None],
-                jnp.asarray([cfo], jnp.float32),
-            )
-            user, phy, ok = _decode_header_bits(np.asarray(hdr_bits)[0])
-            if not ok:
-                cursor += best + self.cfg.num_subcarriers  # skip past false peak
+        keep_from = max(n - self.prefix_len, 0)
+        if n < self.prefix_len + 4 * self.cfg.num_subcarriers:
+            self._residual = buf
+            return []
+
+        # dispatch 1: scan the whole buffer for up to K frame candidates
+        bucket = 1 << max(
+            int(np.ceil(np.log2(max(n, 4 * self.cfg.num_subcarriers)))), 0
+        )
+        rr = np.zeros(bucket, np.float32)
+        ri = np.zeros(bucket, np.float32)
+        rr[:n] = buf.real
+        ri[:n] = buf.imag
+        rr_d, ri_d = jnp.asarray(rr), jnp.asarray(ri)
+        bests, peaks, cfos, headers, phys, hdr_ok = (
+            np.asarray(x) for x in self._scan(rr_d, ri_d, jnp.int32(n))
+        )
+
+        # host: order candidates by position, resolve configs, group
+        accepted: dict[tuple, list[tuple[int, int]]] = {}  # sync key -> [(off, cand)]
+        consumed_end = 0
+        for i in np.argsort(bests, kind="stable"):
+            off, pk = int(bests[i]), float(peaks[i])
+            if pk < threshold or off < consumed_end:
                 continue
-            parsed = unpack_phy_header(phy)
+            if off + self.prefix_len > n:
+                # header region incomplete; wait for more samples
+                keep_from = min(keep_from, off)
+                break
+            if not hdr_ok[i]:
+                continue  # false peak (or corrupted header): skip
+            parsed = unpack_phy_header(phys[i])
             if parsed is None:
-                cursor += best + self.cfg.num_subcarriers
                 continue
-            payload_len, mod, f0, f1, check = parsed
-            sync = self._sync_for(payload_len, mod, f0, f1, check)
+            sync = self._sync_for(*parsed)
             flen = sync.gen.frame_len
-            if best + flen > len(segment):
-                keep_from = min(keep_from, cursor + best)
+            if off + flen > n:
+                keep_from = min(keep_from, off)
                 break  # frame incomplete; resume next block
-            frame_np = segment[best : best + flen]
-            stats, hdrs, pays = sync.demod_aligned(
-                (
-                    frame_np.real.astype(np.float32)[None],
-                    frame_np.imag.astype(np.float32)[None],
-                ),
-                cfo=jnp.asarray([float(cfo)]),
-            )
-            frames.append(
-                {
-                    "offset": base + cursor + best,
-                    "stats": stats[0],
-                    "header": hdrs[0],
-                    "payload": pays[0],
-                }
-            )
-            cursor += best + flen
-        keep_from = max(keep_from, cursor)
+            accepted.setdefault(parsed, []).append((off, int(i)))
+            consumed_end = off + flen
+
+        # dispatch 2..: one fused batched demod+decode per payload config,
+        # padded to K so each sync compiles exactly once per bucket size
+        frames = []
+        for parsed, items in accepted.items():
+            sync = self._sync_for(*parsed)
+            g = len(items)
+            offs = np.zeros(self.max_frames_per_block, np.int32)
+            cf = np.zeros(self.max_frames_per_block, np.float32)
+            offs[:g] = [off for off, _ in items]
+            cf[:g] = [float(cfos[i]) for _, i in items]
+            out = sync.decode_at(rr_d, ri_d, offs, cf)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for j, (off, _i) in enumerate(items):
+                frames.append(
+                    {
+                        "offset": base + off,
+                        "stats": sync._stats_from(out, j),
+                        "header": out["headers"][j],
+                        "payload": out["payloads"][j],
+                    }
+                )
+        frames.sort(key=lambda f: f["offset"])
+
+        keep_from = max(keep_from, consumed_end)
         # never let the residual grow beyond a bound (malformed stream guard)
         max_residual = 4 * (self.prefix_len + 64 * self.cfg.symbol_len)
-        keep_from = max(keep_from, len(buf) - max_residual)
+        keep_from = max(keep_from, n - max_residual)
         self._residual = buf[keep_from:]
         self._residual_offset = base + keep_from
         return frames

@@ -105,6 +105,113 @@ class TestLoopbackImpaired:
         np.testing.assert_array_equal(pay, payloads)
 
 
+def _stream_with_frames(rng, gen, headers, payloads, gaps=(50, 400)):
+    """Noise-padded stream with B frames at random gaps; returns (iq, offsets)."""
+    iq = np.asarray(gen.assemble(headers, payloads))
+    parts, offs, pos = [], [], 0
+    for i in range(iq.shape[0]):
+        g = int(rng.integers(*gaps))
+        parts.append(
+            0.01
+            * (rng.standard_normal(g) + 1j * rng.standard_normal(g)).astype(
+                np.complex64
+            )
+        )
+        pos += g
+        offs.append(pos)
+        parts.append(iq[i])
+        pos += iq.shape[1]
+    parts.append(np.zeros(600, np.complex64))
+    return np.concatenate(parts), offs
+
+
+class TestBatchedReceive:
+    """The O(1)-dispatch rx paths: fused fixed-config block receive and the
+    adaptive StreamReceiver (both decode FEC+CRC in-graph)."""
+
+    def test_receive_block_multi_frame(self, rng):
+        cfg = OFDMFrameConfig()
+        gen = OFDMFrameGen(cfg, payload_len=64)
+        sync = OFDMFrameSync(cfg, payload_len=64)
+        b = 6
+        headers = rng.integers(0, 256, (b, 8)).astype(np.uint8)
+        payloads = rng.integers(0, 256, (b, 64)).astype(np.uint8)
+        stream, offs = _stream_with_frames(rng, gen, headers, payloads)
+        frames = sync.receive_block(stream, k=16)
+        assert len(frames) == b
+        for f, o, h, p in zip(frames, offs, headers, payloads):
+            assert abs(f["offset"] - o) <= 2
+            np.testing.assert_array_equal(f["header"], h)
+            np.testing.assert_array_equal(f["payload"], p)
+            assert f["stats"].payload_valid
+
+    def test_stream_receiver_straddling_blocks(self, rng):
+        from cognitive_radio_network_tpu.phy.framesync import StreamReceiver
+
+        cfg = OFDMFrameConfig()
+        gen = OFDMFrameGen(cfg, payload_len=64)
+        b = 6
+        headers = rng.integers(0, 256, (b, 8)).astype(np.uint8)
+        payloads = rng.integers(0, 256, (b, 64)).astype(np.uint8)
+        stream, offs = _stream_with_frames(rng, gen, headers, payloads)
+        rx = StreamReceiver(cfg)
+        got = []
+        blk = 777  # deliberately much smaller than frame_len
+        for s in range(0, len(stream), blk):
+            got += rx.process(stream[s : s + blk])
+        assert len(got) == b
+        for f, o, p in zip(got, offs, payloads):
+            assert abs(f["offset"] - o) <= 2
+            np.testing.assert_array_equal(f["payload"], p)
+
+    def test_stream_receiver_mixed_configs(self, rng):
+        """Adaptive receive: per-frame (len, mod, fec) from the PHY header —
+        two different payload configs interleaved in one stream."""
+        from cognitive_radio_network_tpu.phy.framesync import StreamReceiver
+
+        cfg_a = OFDMFrameConfig()  # qam4 / h128
+        cfg_b = OFDMFrameConfig(mod_scheme="qam16", fec0="v27", fec1="none")
+        gen_a = OFDMFrameGen(cfg_a, payload_len=40)
+        gen_b = OFDMFrameGen(cfg_b, payload_len=96)
+        pay_a = rng.integers(0, 256, (2, 40)).astype(np.uint8)
+        pay_b = rng.integers(0, 256, (2, 96)).astype(np.uint8)
+        hdr = rng.integers(0, 256, (4, 8)).astype(np.uint8)
+        iq_a = np.asarray(gen_a.assemble(hdr[:2], pay_a))
+        iq_b = np.asarray(gen_b.assemble(hdr[2:], pay_b))
+        gap = np.zeros(300, np.complex64)
+        stream = np.concatenate(
+            [gap, iq_a[0], gap, iq_b[0], gap, iq_a[1], gap, iq_b[1], gap]
+        )
+        rx = StreamReceiver(cfg_a)
+        got = []
+        for s in range(0, len(stream), 1500):
+            got += rx.process(stream[s : s + 1500])
+        assert len(got) == 4
+        pays = {len(f["payload"]) for f in got}
+        assert pays == {40, 96}
+        for f in got:
+            assert f["stats"].payload_valid
+        np.testing.assert_array_equal(
+            [f["payload"] for f in got if len(f["payload"]) == 40], pay_a
+        )
+        np.testing.assert_array_equal(
+            [f["payload"] for f in got if len(f["payload"]) == 96], pay_b
+        )
+
+    def test_v27_v27_link(self, rng):
+        """The predictive scenario's SU link coding: conv K=7 r=1/2 inner AND
+        outer (scenarios/predictive_model.cfg:81-82), Viterbi decoded
+        in-graph twice."""
+        cfg = OFDMFrameConfig(mod_scheme="qam16", fec0="v27", fec1="v27")
+        gen = OFDMFrameGen(cfg, payload_len=64)
+        sync = OFDMFrameSync(cfg, payload_len=64)
+        headers, payloads = _frames(gen, rng, b=3)
+        iq = gen.assemble(headers, payloads)
+        stats, hdr, pay = sync.demod_aligned(iq)
+        assert all(s.payload_valid for s in stats)
+        np.testing.assert_array_equal(pay, payloads)
+
+
 class TestBEROracle:
     def test_msequence_payload_ber(self, rng):
         """The reference's known-payload BER oracle: payload is the degree-12

@@ -133,3 +133,33 @@ class TestFusedSenseCT:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-2
         )
+
+
+class TestExtractWindows:
+    """Dynamic-offset window extraction (ops/extract.py) — the DMA gather
+    feeding the OFDM rx graphs.  CPU runs the dynamic-slice fallback; the
+    Pallas path is exercised on TPU (same contract)."""
+
+    def test_rows_match_slices(self, rng):
+        from cognitive_radio_network_tpu.ops.extract import extract_windows
+
+        n, wlen = 50000, 470
+        rr = rng.standard_normal(n).astype(np.float32)
+        ri = rng.standard_normal(n).astype(np.float32)
+        offs = rng.integers(0, n - wlen, 13).astype(np.int32)
+        wr, wi = extract_windows(jnp.asarray(rr), jnp.asarray(ri), jnp.asarray(offs), wlen)
+        for k, o in enumerate(offs):
+            np.testing.assert_array_equal(np.asarray(wr)[k], rr[o : o + wlen])
+            np.testing.assert_array_equal(np.asarray(wi)[k], ri[o : o + wlen])
+
+    def test_offsets_clipped(self, rng):
+        from cognitive_radio_network_tpu.ops.extract import extract_windows
+
+        n, wlen = 4096, 512
+        rr = rng.standard_normal(n).astype(np.float32)
+        ri = rng.standard_normal(n).astype(np.float32)
+        offs = np.asarray([-7, n - 3, n + 100, 0], np.int32)
+        wr, _ = extract_windows(jnp.asarray(rr), jnp.asarray(ri), jnp.asarray(offs), wlen)
+        for k, o in enumerate(offs):
+            oc = min(max(int(o), 0), n - wlen)
+            np.testing.assert_array_equal(np.asarray(wr)[k], rr[oc : oc + wlen])
