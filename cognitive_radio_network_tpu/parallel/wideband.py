@@ -100,6 +100,42 @@ def wideband_sense(
     return {"energy": energy, "noise": noise, "occupied": occupied}
 
 
+def _dft_complex_block(m: int) -> jax.Array:
+    """(2M, 2M) real matrix computing the length-M DFT of lane-concat
+    complex rows:  [yr | yi] = [vr | vi] @ [[Wre, Wim], [-Wim, Wre]].
+
+    Constant-folded by XLA; with M=64 this is a dense, fully-lane-packed
+    128x128 MXU tile — one matmul does the whole complex DFT."""
+    ang = -2.0 * np.pi * np.outer(np.arange(m), np.arange(m)) / m
+    wre = np.cos(ang).astype(np.float32)
+    wim = np.sin(ang).astype(np.float32)
+    top = np.concatenate([wre, wim], axis=1)
+    bot = np.concatenate([-wim, wre], axis=1)
+    return jnp.asarray(np.concatenate([top, bot], axis=0))
+
+
+def _fir_rows(
+    v_in: jax.Array, taps: jax.Array, history: jax.Array | None
+) -> jax.Array:
+    """Depthwise polyphase FIR on lane-concat planes.
+
+    v_in: (T, 2M) rows [xr_phases | xi_phases]; taps (P, M).  Returns
+    (T, 2M) with v[t, c] = sum_p h[p, c] * v_in[t-p, c] per plane — eight
+    shifted VPU multiply-adds, no matmul.  ``history`` (P-1, 2M) seeds the
+    first rows (overlap-save carry; zeros when None)."""
+    p = taps.shape[0]
+    t = v_in.shape[0]
+    hf = jnp.flip(taps.astype(jnp.float32), axis=0)
+    hf2 = jnp.concatenate([hf, hf], axis=1)  # (P, 2M): same taps per plane
+    if history is None:
+        history = jnp.zeros((p - 1, v_in.shape[1]), jnp.float32)
+    ext = jnp.concatenate([history, v_in], axis=0)  # (T+P-1, 2M)
+    v = hf2[0] * jax.lax.slice_in_dim(ext, 0, t, axis=0)
+    for s in range(1, p):
+        v = v + hf2[s] * jax.lax.slice_in_dim(ext, s, s + t, axis=0)
+    return v
+
+
 def wideband_energy_packed(
     xr: jax.Array,
     xi: jax.Array,
@@ -110,62 +146,35 @@ def wideband_energy_packed(
 ) -> jax.Array:
     """Single-chip fast path: planar wide stream -> per-cycle channel energy.
 
-    Fully lane-packed formulation — the wide stream reshapes to rows of
-    512 samples (8 output times each for M=64), frame windows are lane
-    slices of a row-pair concat, and the FIR+DFT is the combined matrix G
-    of signal/channelizer.py.  No (T, 64) half-empty-lane arrays anywhere:
-    ~2x the throughput of channelize-then-reduce.  Energy only (the
-    channelized IQ itself is never materialized); use sharded_channelize
-    when per-channel streams are needed.
+    Factored polyphase formulation, fully lane-packed: the FIR is P shifted
+    VPU multiply-adds on (T, 2M) rows [vr | vi] (depthwise — the dense
+    (P*M, M) G-matrix of signal/channelizer.py wastes ~PxM/(2M)=4x MXU
+    FLOPs re-multiplying the window for every output), and the M-point DFT
+    is ONE (T, 2M) @ (2M, 2M) complex-packed matmul (a full 128x128 MXU
+    tile at M=64).  ~14x fewer matmul FLOPs than the fused-G layout that
+    this replaced; energy only (channelized IQ never materialized) — use
+    sharded_channelize when per-channel streams are needed.
 
     xr/xi: (T*M,) float32.  Returns (C, M) with C = T / block_len.
-    Requires M * P = 512-wide windows divisible into 512-lane rows (the
-    default M=64, P=8) and T divisible by 8 * block_len.
     """
-    from cognitive_radio_network_tpu.signal.channelizer import (
-        _PRECISIONS,
-        _fir_dft_matrices,
-    )
+    from cognitive_radio_network_tpu.signal.channelizer import _PRECISIONS
 
-    m, p = cfg.num_channels, cfg.taps_per_channel
-    win = m * p
-    times_per_row = win // m  # 8
-    if win != 512:
-        raise ValueError(f"packed path requires M*P=512, got {win}")
+    m = cfg.num_channels
     t_total = xr.shape[0] // m
-    r = t_total // times_per_row
-    if cfg.block_len % times_per_row or t_total % cfg.block_len:
-        raise ValueError(
-            f"block_len must be a multiple of {times_per_row} and "
-            f"T={t_total} a multiple of block_len"
-        )
+    if t_total % cfg.block_len:
+        raise ValueError(f"T={t_total} must be a multiple of block_len")
     prec = _PRECISIONS[precision]
-    gre, gim = _fir_dft_matrices(taps)
 
-    rows_r = xr.reshape(r, win)
-    rows_i = xi.reshape(r, win)
-    zpad = jnp.zeros((1, win), jnp.float32)
-    x2r = jnp.concatenate(
-        [jnp.concatenate([zpad, rows_r[:-1]], axis=0), rows_r], axis=1
+    v_in = jnp.concatenate(
+        [xr.reshape(t_total, m), xi.reshape(t_total, m)], axis=1
     )
-    x2i = jnp.concatenate(
-        [jnp.concatenate([zpad, rows_i[:-1]], axis=0), rows_i], axis=1
+    v = _fir_rows(v_in, taps, None)
+    y = jnp.matmul(
+        v, _dft_complex_block(m), precision=prec,
+        preferred_element_type=jnp.float32,
     )
-
-    def mm(a, b):
-        return jnp.matmul(a, b, precision=prec, preferred_element_type=jnp.float32)
-
-    power = jnp.zeros((r, m), jnp.float32)
-    for k in range(times_per_row):
-        s = m * (k + 1)
-        wr = jax.lax.slice(x2r, (0, s), (r, s + win))
-        wi = jax.lax.slice(x2i, (0, s), (r, s + win))
-        yre = mm(wr, gre) - mm(wi, gim)
-        yim = mm(wr, gim) + mm(wi, gre)
-        power = power + (yre * yre + yim * yim)
-    power = power / times_per_row  # mean over the row's 8 output times
-    rows_per_cycle = cfg.block_len // times_per_row
-    return power.reshape(r // rows_per_cycle, rows_per_cycle, m).mean(axis=1)
+    power = y[:, :m] ** 2 + y[:, m:] ** 2
+    return power.reshape(t_total // cfg.block_len, cfg.block_len, m).mean(axis=1)
 
 
 def sharded_wideband_energy_packed(
@@ -187,44 +196,28 @@ def sharded_wideband_energy_packed(
     Returns (C, M) energies with the cycle axis sharded the same way.
     """
     from cognitive_radio_network_tpu.parallel.halo import halo_exchange
-    from cognitive_radio_network_tpu.signal.channelizer import (
-        _PRECISIONS,
-        _fir_dft_matrices,
-    )
+    from cognitive_radio_network_tpu.signal.channelizer import _PRECISIONS
 
-    m = cfg.num_channels
-    win = m * cfg.taps_per_channel
-    times_per_row = win // m
+    m, p = cfg.num_channels, cfg.taps_per_channel
     prec = _PRECISIONS[precision]
     taps = jnp.asarray(cfg.taps())
-    gre, gim = _fir_dft_matrices(taps)
+    dft = _dft_complex_block(m)
 
     def local(xr_l, xi_l):
-        r = xr_l.shape[0] // win
-        rows_r = xr_l.reshape(r, win)
-        rows_i = xi_l.reshape(r, win)
-        # halo: previous shard's LAST packed row seeds this shard's first
-        ext_r = halo_exchange(rows_r, 1, time_axis, axis=0)  # (r+1, win)
-        ext_i = halo_exchange(rows_i, 1, time_axis, axis=0)
-        x2r = jnp.concatenate([ext_r[:-1], rows_r], axis=1)  # (r, 2*win)
-        x2i = jnp.concatenate([ext_i[:-1], rows_i], axis=1)
-
-        def mm(a, b):
-            return jnp.matmul(
-                a, b, precision=prec, preferred_element_type=jnp.float32
-            )
-
-        power = jnp.zeros((r, m), jnp.float32)
-        for k in range(times_per_row):
-            s = m * (k + 1)
-            wr = jax.lax.slice(x2r, (0, s), (r, s + win))
-            wi = jax.lax.slice(x2i, (0, s), (r, s + win))
-            yre = mm(wr, gre) - mm(wi, gim)
-            yim = mm(wr, gim) + mm(wi, gre)
-            power = power + (yre * yre + yim * yim)
-        power = power / times_per_row
-        rows_per_cycle = cfg.block_len // times_per_row
-        return power.reshape(r // rows_per_cycle, rows_per_cycle, m).mean(axis=1)
+        t_local = xr_l.shape[0] // m
+        v_in = jnp.concatenate(
+            [xr_l.reshape(t_local, m), xi_l.reshape(t_local, m)], axis=1
+        )
+        # halo: previous shard's last P-1 phase rows seed this shard's FIR
+        ext = halo_exchange(v_in, p - 1, time_axis, axis=0)
+        v = _fir_rows(v_in, taps, history=ext[: p - 1])
+        y = jnp.matmul(
+            v, dft, precision=prec, preferred_element_type=jnp.float32
+        )
+        power = y[:, :m] ** 2 + y[:, m:] ** 2
+        return power.reshape(
+            t_local // cfg.block_len, cfg.block_len, m
+        ).mean(axis=1)
 
     from jax import shard_map
 

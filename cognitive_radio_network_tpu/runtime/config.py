@@ -134,6 +134,14 @@ class ScenarioConfig:
     # peer's next TX/RX_BLOCK.  Generous default because a node subprocess's
     # first jit compile on a tunneled TPU backend can take >30 s
     net_step_timeout_s: float = 120.0
+    # where the per-block link PHY runs: "host" pins the scenario loop's
+    # small-block dispatches (frame assemble, frame sync, engine sense) to
+    # the host CPU backend — the real-time control loop is latency-bound
+    # (5 ms block quantum vs ~0.7 ms accelerator round-trip), exactly why
+    # the reference runs its link PHY on the host too (BASELINE.md 13 MS/s
+    # CPU bound).  The throughput paths (bench sense/wideband/OFDM-link,
+    # training) stay on the TPU.  "device" leaves placement to JAX.
+    phy_placement: str = "host"
 
 
 @dataclasses.dataclass
@@ -265,6 +273,8 @@ def scenario_from_dict(d: dict[str, Any], name: str = "scenario") -> ScenarioCon
         "medium_block_len",
         "medium_noise_power",
         "seed",
+        "phy_placement",
+        "max_wall_time_s",
     ):
         if k in d:
             setattr(sc, k, d[k])

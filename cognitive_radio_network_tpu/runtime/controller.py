@@ -34,7 +34,31 @@ from cognitive_radio_network_tpu.runtime.medium import Medium, MediumConfig
 from cognitive_radio_network_tpu.runtime.node import InterfererNode, RadioNode
 from cognitive_radio_network_tpu.runtime.scenario import CrtsParam, Feedback
 
-__all__ = ["ScenarioRuntime", "ScenarioSummary", "run_master"]
+__all__ = [
+    "ScenarioRuntime",
+    "ScenarioSummary",
+    "run_master",
+    "phy_placement_ctx",
+]
+
+
+def phy_placement_ctx(placement: str):
+    """Placement context for the block-stepped link PHY (ScenarioConfig
+    .phy_placement): "host" routes the scenario loop's small-block jit
+    dispatches to the CPU backend — the 5 ms real-time quantum cannot absorb
+    a ~0.7 ms tunneled-accelerator round-trip per dispatch, and the
+    reference's own real-time bound is a host CPU (BASELINE.md).  Falls back
+    to a no-op when no CPU backend exists or placement is "device"."""
+    import contextlib
+
+    if placement == "host":
+        try:
+            import jax
+
+            return jax.default_device(jax.local_devices(backend="cpu")[0])
+        except Exception:  # no cpu backend registered — leave placement alone
+            return contextlib.nullcontext()
+    return contextlib.nullcontext()
 
 
 @dataclasses.dataclass
@@ -77,6 +101,7 @@ class ScenarioRuntime:
         self._last_stats_fb_t: dict[int, float] = {}
         self.failed_nodes: dict[int, str] = {}
         self.terminated = False
+        self.wall_time_s = 0.0  # set by run(): realtime factor = run_time / this
 
     # -- control channel (set_node_parameter -> apply_control_msg,
     #    src/crts_cognitive_radio.cpp:127-206) --
@@ -168,16 +193,18 @@ class ScenarioRuntime:
         import time as _time
 
         try:
-            self.start()
-            wall_start = _time.monotonic()
-            while self.t < self.cfg.run_time and not self.terminated:
-                self.step()
-                if (
-                    self.cfg.max_wall_time_s is not None
-                    and _time.monotonic() - wall_start > self.cfg.max_wall_time_s
-                ):
-                    # forceful termination (crts_controller.cpp:556-577 analog)
-                    self.terminated = True
+            with phy_placement_ctx(self.cfg.phy_placement):
+                self.start()
+                wall_start = _time.monotonic()
+                while self.t < self.cfg.run_time and not self.terminated:
+                    self.step()
+                    if (
+                        self.cfg.max_wall_time_s is not None
+                        and _time.monotonic() - wall_start > self.cfg.max_wall_time_s
+                    ):
+                        # forceful termination (crts_controller.cpp:556-577 analog)
+                        self.terminated = True
+                self.wall_time_s = _time.monotonic() - wall_start
         finally:
             self.log.flush()  # persist spill logs even on abnormal exit
         bytes_sent, bytes_rcvd, frames, valid = [], [], [], []

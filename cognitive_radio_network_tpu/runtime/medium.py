@@ -41,19 +41,22 @@ class Medium:
 
     def propagate(self, contributions: list[np.ndarray]) -> list[np.ndarray]:
         """contributions[j]: complex64 (block_len,) at medium rate/center.
-        Returns per-receiver blocks (noise independent per receiver)."""
+        Returns per-receiver blocks (noise independent per receiver).
+
+        One BLAS matmul for the whole N-to-N mix — at the 48-node cap
+        (include/crts.hpp:189) the per-receiver broadcast loop this replaces
+        allocated N^2 temporaries per block."""
         n = self.cfg.block_len
-        out = []
         stack = np.stack(
             [
                 c if c is not None else np.zeros(n, np.complex64)
                 for c in contributions
             ]
         )
-        for i in range(self.num_nodes):
-            sig = (self.gains[:, i, None] * stack).sum(axis=0)
-            noise = np.sqrt(self.cfg.noise_power / 2) * (
-                self.rng.standard_normal(n) + 1j * self.rng.standard_normal(n)
-            )
-            out.append((sig + noise).astype(np.complex64))
-        return out
+        sig = self.gains.T.astype(np.complex64) @ stack  # (rx, block)
+        noise = np.sqrt(self.cfg.noise_power / 2) * (
+            self.rng.standard_normal((self.num_nodes, n))
+            + 1j * self.rng.standard_normal((self.num_nodes, n))
+        )
+        out_all = (sig + noise).astype(np.complex64)
+        return list(out_all)

@@ -495,6 +495,12 @@ def run_node_client(
         # same step count as the controller (and as ScenarioRuntime's
         # `while t < run_time`), so traffic accounting is identical
         num_steps = math.ceil(cfg.run_time / mcfg.block_dt - 1e-9)
+        from cognitive_radio_network_tpu.runtime.controller import (
+            phy_placement_ctx,
+        )
+
+        placement = phy_placement_ctx(cfg.phy_placement)
+        placement.__enter__()  # exited in the function's finally
         while not terminated and step < num_steps:
             node.poll_traffic(t)
             contribution = node.pull_tx_block(mcfg.block_len)
@@ -541,6 +547,8 @@ def run_node_client(
         conn.send(Msg.SUMMARY, _json(summary))
         return 0
     finally:
+        if "placement" in locals():
+            placement.__exit__(None, None, None)
         conn.close()
 
 

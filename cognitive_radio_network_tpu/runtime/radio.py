@@ -303,29 +303,52 @@ class Radio:
     def _make_frame_samples(self, frame_type: int, payload: np.ndarray) -> np.ndarray:
         """One frame at medium rate/offset with gains applied (the
         transmit_frame path, src/extensible_cognitive_radio.cpp:883-949)."""
-        gen = self._get_gen(len(payload))
-        header = np.zeros(8, np.uint8)
-        header[0] = ((self.frame_num >> 8) & 0x3F) | (frame_type << 6)
-        header[1] = self.frame_num & 0xFF
-        header[2:8] = self.tx_header_control
-        self.frame_num += 1
+        return self._make_frames_batch([frame_type], [payload])[0]
+
+    def _make_frames_batch(self, frame_types, payloads) -> np.ndarray:
+        """N same-length frames at medium rate with gains applied — ONE
+        batched assemble dispatch for the whole run of queued packets
+        (transmit_frame, src/extensible_cognitive_radio.cpp:883-949; each
+        frame is resampled independently, so the result is sample-identical
+        to N single-frame calls placed back to back)."""
+        f = len(payloads)
+        gen = self._get_gen(len(payloads[0]))
+        headers = np.zeros((f, 8), np.uint8)
+        nums = self.frame_num + np.arange(f)
+        headers[:, 0] = ((nums >> 8) & 0x3F).astype(np.uint8) | (
+            np.asarray(frame_types, np.uint8) << 6
+        )
+        headers[:, 1] = (nums & 0xFF).astype(np.uint8)
+        headers[:, 2:8] = self.tx_header_control
+        self.frame_num += f
         # fetch planes, combine host-side: complex64 device->host transfers
         # are unsupported on some backends (signal/iq.py)
-        pl_ = np.asarray(gen.assemble(header[None], payload[None], as_planes=True))[0]
+        pl_ = np.asarray(
+            gen.assemble(headers, np.stack(payloads), as_planes=True)
+        )
         iq = (pl_[..., 0] + 1j * pl_[..., 1]).astype(np.complex64)
         g = float(soft_gain(self.params.tx_gain_soft)) * float(
             soft_gain(self.params.tx_gain)
         )
         iq = (g * iq).astype(np.complex64)
-        # resample tx_rate -> medium rate
+        # resample tx_rate -> medium rate (batched: rows are independent)
         up, down = _rate_ratio(self.medium_rate, self.params.tx_rate)
         if (up, down) != (1, 1):
             iq = resample_poly(iq, up, down).astype(np.complex64)
         if self.log_sink is not None:
-            self.log_sink.log_phy_tx(
-                self.node_id, self.frame_num - 1, dataclasses.asdict(self.params)
-            )
+            for k in range(f):
+                self.log_sink.log_phy_tx(
+                    self.node_id,
+                    self.frame_num - f + k,
+                    dataclasses.asdict(self.params),
+                )
         return iq
+
+    def _frame_len_medium(self, payload_len: int) -> int:
+        """Samples one frame occupies at the medium rate."""
+        gen = self._get_gen(payload_len)
+        up, down = _rate_ratio(self.medium_rate, self.params.tx_rate)
+        return -(-gen.frame_len * up // down)
 
     def pull_tx_block(self, n: int) -> np.ndarray | None:
         """Medium-facing: produce this node's next n transmit samples at the
@@ -341,14 +364,31 @@ class Radio:
             filled = k
             emitted = True
         while filled < n:
-            if self._ctrl_queue:
-                frame_type, payload = FrameType.CONTROL, self._ctrl_queue.popleft()
-            elif self.tx_state == TX_CONTINUOUS and self._tx_queue:
-                frame_type, payload = FrameType.DATA, self._tx_queue.popleft()
-            else:
+            # pop the whole run of same-length packets this block can carry
+            # (control frames first, matching the per-frame priority), then
+            # assemble the run with ONE batched dispatch
+            batch_types: list[int] = []
+            batch_payloads: list[np.ndarray] = []
+            est = 0
+            while est < n - filled:
+                if self._ctrl_queue:
+                    src, frame_type = self._ctrl_queue, FrameType.CONTROL
+                elif self.tx_state == TX_CONTINUOUS and self._tx_queue:
+                    src, frame_type = self._tx_queue, FrameType.DATA
+                else:
+                    break
+                payload = src[0]
+                if batch_payloads and len(payload) != len(batch_payloads[0]):
+                    break  # next run (different frame length) next iteration
+                src.popleft()
+                batch_types.append(frame_type)
+                batch_payloads.append(payload)
+                est += self._frame_len_medium(len(payload))
+            if not batch_payloads:
                 break
-            samples = self._make_frame_samples(frame_type, payload)
-            self.num_tx_frames += 1
+            frames = self._make_frames_batch(batch_types, batch_payloads)
+            self.num_tx_frames += len(batch_payloads)
+            samples = frames.reshape(-1)
             k = min(n - filled, len(samples))
             out[filled : filled + k] = samples[:k]
             self._tx_residual = np.concatenate([self._tx_residual, samples[k:]])

@@ -30,7 +30,8 @@ def _resample_taps(up: int, down: int, taps_per_phase: int = 12) -> np.ndarray:
 
 
 def resample_poly(x, up: int, down: int):
-    """Resample by up/down. complex or float 1-D (host numpy or jnp).
+    """Resample by up/down. complex or float, 1-D or (B, N) batched rows
+    (each row resampled independently — host numpy or jnp).
 
     Semantics: zero-stuff by ``up``, low-pass at min Nyquist (centered FIR,
     delay-compensated), take every ``down``-th.  Output length =
@@ -49,7 +50,7 @@ def resample_poly(x, up: int, down: int):
         return x
     taps = _resample_taps(up, down).astype(np.float32)
     xnp = np.asarray(x)
-    n = len(xnp)
+    n = xnp.shape[-1]
     want = -(-n * up // down)
     delay = (len(taps) - 1) // 2
     # out[m] = filt[m*down] with filt[i] = sum_q x[q] * taps[i + delay - up*q]
@@ -63,11 +64,17 @@ def resample_poly(x, up: int, down: int):
     p = i % up
     q0 = i // up
     # pad x on both sides so every gather index is in range
-    xp = np.concatenate(
-        [np.zeros(tpp, xnp.dtype), xnp, np.zeros(tpp, xnp.dtype)]
-    )
     idx = (q0[:, None] - np.arange(tpp)[None, :]) + tpp  # (want, tpp)
-    out = np.einsum("ms,ms->m", xp[idx], phases[p].astype(xnp.real.dtype))
+    ph = phases[p].astype(xnp.real.dtype)
+    if xnp.ndim == 2:
+        zp = np.zeros((xnp.shape[0], tpp), xnp.dtype)
+        xp = np.concatenate([zp, xnp, zp], axis=1)
+        out = np.einsum("fms,ms->fm", xp[:, idx], ph)
+    else:
+        xp = np.concatenate(
+            [np.zeros(tpp, xnp.dtype), xnp, np.zeros(tpp, xnp.dtype)]
+        )
+        out = np.einsum("ms,ms->m", xp[idx], ph)
     return out.astype(xnp.dtype)
 
 

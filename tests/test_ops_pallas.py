@@ -163,3 +163,59 @@ class TestExtractWindows:
         for k, o in enumerate(offs):
             oc = min(max(int(o), 0), n - wlen)
             np.testing.assert_array_equal(np.asarray(wr)[k], rr[oc : oc + wlen])
+
+
+class TestFusedWideband:
+    """The fused wideband energy kernel (ops/fused_wideband.py)."""
+
+    def _case(self, rng, t_chan, tile_q, precision="highest"):
+        from cognitive_radio_network_tpu.ops.fused_wideband import (
+            wideband_energy_fused,
+        )
+        from cognitive_radio_network_tpu.parallel.wideband import (
+            WidebandConfig,
+            wideband_energy_packed,
+        )
+        from cognitive_radio_network_tpu.signal.channelizer import polyphase_taps
+
+        cfg = WidebandConfig()
+        taps = jnp.asarray(polyphase_taps(64, 8))
+        xr = jnp.asarray(rng.standard_normal(t_chan * 64).astype(np.float32))
+        xi = jnp.asarray(rng.standard_normal(t_chan * 64).astype(np.float32))
+        got = wideband_energy_fused(
+            xr, xi, taps, cfg, precision=precision, tile_q=tile_q,
+            interpret=True,
+        )
+        want = wideband_energy_packed(xr, xi, taps, cfg, precision="highest")
+        return np.asarray(got), np.asarray(want)
+
+    def test_matches_packed_reference(self, rng):
+        """One tile: FIR from rest + DFT + energy means match the XLA path."""
+        got, want = self._case(rng, t_chan=1024, tile_q=512)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+    def test_halo_seam_across_tiles(self, rng):
+        """Multiple tiles: the 4-row pair halo carries the FIR state so
+        cycle boundaries falling on tile seams are bit-continuous."""
+        got, want = self._case(rng, t_chan=4096, tile_q=512)
+        assert got.shape == want.shape == (32, 64)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+    def test_bf16_3x_close(self, rng):
+        got, want = self._case(rng, t_chan=1024, tile_q=512, precision="high")
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+
+    def test_shape_constraints(self):
+        from cognitive_radio_network_tpu.ops.fused_wideband import (
+            wideband_energy_fused,
+        )
+        from cognitive_radio_network_tpu.parallel.wideband import WidebandConfig
+
+        cfg = WidebandConfig()
+        taps = np.zeros((8, 64), np.float32)
+        x = jnp.zeros(1000 * 64, jnp.float32)
+        try:
+            wideband_energy_fused(x, x, taps, cfg, tile_q=512)
+            assert False, "expected ValueError"
+        except ValueError as e:
+            assert "tiles" in str(e)
