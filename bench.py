@@ -147,8 +147,12 @@ def main() -> None:
         orr[s : s + flen] = fr[i, :, 0]
         ori[s : s + flen] = fr[i, :, 1]
     orr_d, ori_d = jnp.asarray(orr), jnp.asarray(ori)
+    # n_valid must be device-resident OUTSIDE the timing loop: a fresh
+    # jnp.int32 per call is a host->device transfer that fences dispatch
+    # pipelining (~50 ms round trip on tunneled backends, 60x the graph).
+    nvalid_d = jnp.int32(n_link)
     rxfn = osync.rx_block_fn(k=F)
-    bests, peaks, cfos, oout, ok = rxfn(orr_d, ori_d, jnp.int32(n_link))
+    bests, peaks, cfos, oout, ok = rxfn(orr_d, ori_d, nvalid_d)
     # correctness gate: every frame decoded, payloads intact
     okh = np.asarray(ok)
     order = np.argsort(np.asarray(bests), kind="stable")
@@ -158,7 +162,7 @@ def main() -> None:
     while True:
         t0 = time.perf_counter()
         for _ in range(oreps):
-            _b, _p, _c, oo, ok = rxfn(orr_d, ori_d, jnp.int32(n_link))
+            _b, _p, _c, oo, ok = rxfn(orr_d, ori_d, nvalid_d)
         _ = np.asarray(ok[:1])
         oel = time.perf_counter() - t0
         if oel > 1.5 or oreps >= 256:
