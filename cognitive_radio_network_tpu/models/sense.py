@@ -26,6 +26,7 @@ reintroduces the wall-clock cadence when emulating scenario timing.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -158,8 +159,13 @@ def sense_classify_trace(
     return res, trace
 
 
+@functools.lru_cache(maxsize=64)
 def make_sense_fn(cfg: SenseConfig = SenseConfig(), *, with_trace: bool = False):
-    """A jitted closure over the static config (donating the IQ buffer)."""
+    """A jitted closure over the static config (donating the IQ buffer).
+
+    Cached process-wide: every engine instance with the same config shares
+    one compilation (N predictive nodes in one scenario must not compile N
+    identical graphs)."""
     if with_trace:
 
         @jax.jit

@@ -45,7 +45,13 @@ from cognitive_radio_network_tpu.phy import modem, subcarriers
 from cognitive_radio_network_tpu.phy.bits import pack_bits, unpack_bits
 from cognitive_radio_network_tpu.signal.msequence import MSequence
 
-__all__ = ["OFDMFrameConfig", "OFDMFrameGen", "pack_phy_header", "unpack_phy_header"]
+__all__ = [
+    "OFDMFrameConfig",
+    "OFDMFrameGen",
+    "gen_for",
+    "pack_phy_header",
+    "unpack_phy_header",
+]
 
 HEADER_BYTES = 8  # user header bytes (ECR frame num/type + control info)
 PHY_HEADER_BYTES = 6  # internal: payload_len(2, LE) | mod | fec0 | fec1 | crc
@@ -345,6 +351,19 @@ class OFDMFrameGen:
             )
 
         return jax.jit(planes)
+
+
+@functools.lru_cache(maxsize=512)
+def gen_for(cfg: OFDMFrameConfig, payload_len: int) -> OFDMFrameGen:
+    """Process-wide OFDMFrameGen cache.
+
+    Identically-configured radios MUST share one generator instance so its
+    cached jitted graphs (assembly here, demod/decode in phy/framesync.py)
+    compile once per process, not once per radio — the reference runs up to
+    48 node processes (include/crts.hpp:189), and a 48-node simulation with
+    per-instance compilation recompiles the same graphs dozens of times.
+    OFDMFrameGen is stateless, so sharing is safe."""
+    return OFDMFrameGen(cfg, payload_len)
 
 
 def _taper_window(taper_len: int) -> jnp.ndarray:

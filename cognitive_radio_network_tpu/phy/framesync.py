@@ -53,6 +53,7 @@ from cognitive_radio_network_tpu.phy.framegen import (
     _HEADER_MOD,
     OFDMFrameConfig,
     OFDMFrameGen,
+    gen_for,
     unpack_phy_header,
 )
 from cognitive_radio_network_tpu.signal.iq import split_iq
@@ -78,14 +79,19 @@ class FrameSyncStats:
 
 
 class OFDMFrameSync:
-    """Fixed-configuration synchronizer (both sides share the frame config)."""
+    """Fixed-configuration synchronizer (both sides share the frame config).
+
+    Instances are CHEAP: the generator and every jitted graph come from
+    process-wide caches keyed on (config, payload_len), so N identically
+    configured radios (up to the reference's 48-node cap,
+    include/crts.hpp:189) share one compilation of each rx graph."""
 
     def __init__(self, cfg: OFDMFrameConfig, payload_len: int):
         self.cfg = cfg
         self.payload_len = payload_len
-        self.gen = OFDMFrameGen(cfg, payload_len)  # shares sizing/preambles
-        self._rx = jax.jit(functools.partial(_rx_graph, self.gen))
-        self._rx_at = jax.jit(functools.partial(_rx_at_graph, self.gen))
+        self.gen = gen_for(cfg, payload_len)  # shares sizing/preambles
+        self._rx = _rx_jit_for(cfg, payload_len)
+        self._rx_at = _rx_at_jit_for(cfg, payload_len)
 
     # -- detection ------------------------------------------------------
 
@@ -142,14 +148,7 @@ class OFDMFrameSync:
         frames: (rr, ri, n_valid) -> (bests, peaks, cfos, rx dict, ok).
         Device-level (no host fetch), so calls pipeline — the full-rate rx
         path for benches and the sharded link."""
-        cache = getattr(self, "_rx_block_cache", None)
-        if cache is None:
-            cache = self._rx_block_cache = {}
-        if k not in cache:
-            cache[k] = jax.jit(
-                functools.partial(_receive_block_graph, self.gen, k=k)
-            )
-        return cache[k]
+        return _rx_block_jit_for(self.cfg, self.payload_len, k)
 
     def receive_block(self, iq, threshold: float = 0.2, k: int = 16):
         """Host convenience over :meth:`rx_block_fn`: returns the frames
@@ -550,6 +549,39 @@ def _scan_block_graph(layout: OFDMFrameGen, rr, ri, n_valid, *, k: int):
 
 
 # ----------------------------------------------------------------------
+# process-wide compiled-graph caches
+#
+# All rx graphs are pure functions of (frame config, payload_len[, k]), so
+# one compilation serves every radio instance with that configuration —
+# jax.jit caches on function identity, and a fresh functools.partial per
+# instance would defeat it (48 identically-configured nodes would compile
+# the same graph 48 times; see gen_for in phy/framegen.py).
+# ----------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=512)
+def _rx_jit_for(cfg: OFDMFrameConfig, payload_len: int):
+    return jax.jit(functools.partial(_rx_graph, gen_for(cfg, payload_len)))
+
+
+@functools.lru_cache(maxsize=512)
+def _rx_at_jit_for(cfg: OFDMFrameConfig, payload_len: int):
+    return jax.jit(functools.partial(_rx_at_graph, gen_for(cfg, payload_len)))
+
+
+@functools.lru_cache(maxsize=512)
+def _rx_block_jit_for(cfg: OFDMFrameConfig, payload_len: int, k: int):
+    return jax.jit(
+        functools.partial(_receive_block_graph, gen_for(cfg, payload_len), k=k)
+    )
+
+
+@functools.lru_cache(maxsize=512)
+def _scan_jit_for(cfg: OFDMFrameConfig, k: int):
+    return jax.jit(functools.partial(_scan_block_graph, gen_for(cfg, 1), k=k))
+
+
+# ----------------------------------------------------------------------
 # adaptive streaming receiver
 # ----------------------------------------------------------------------
 
@@ -566,12 +598,10 @@ class StreamReceiver:
 
     def __init__(self, cfg: OFDMFrameConfig, max_frames_per_block: int = 16):
         self.cfg = cfg
-        self.layout = OFDMFrameGen(cfg, payload_len=1)
+        self.layout = gen_for(cfg, 1)
         m, cp = cfg.num_subcarriers, cfg.cp_len
         self.prefix_len = 2 * m + (m + cp) + self.layout.n_header_syms * (m + cp)
-        self._scan = jax.jit(
-            functools.partial(_scan_block_graph, self.layout, k=max_frames_per_block)
-        )
+        self._scan = _scan_jit_for(cfg, max_frames_per_block)
         self._syncs: dict[tuple, OFDMFrameSync] = {}
         self.max_frames_per_block = max_frames_per_block
         self._residual = np.zeros(0, np.complex64)

@@ -294,11 +294,11 @@ class Radio:
         )
 
     def _get_gen(self, payload_len: int) -> OFDMFrameGen:
-        self._gens = getattr(self, "_gens", {})
-        key = (self._tx_cfg(), payload_len)
-        if key not in self._gens:
-            self._gens[key] = OFDMFrameGen(key[0], payload_len)
-        return self._gens[key]
+        # process-wide cache: all identically-configured radios share one
+        # generator (and its compiled assembly graph) — see framegen.gen_for
+        from cognitive_radio_network_tpu.phy.framegen import gen_for
+
+        return gen_for(self._tx_cfg(), payload_len)
 
     def _make_frame_samples(self, frame_type: int, payload: np.ndarray) -> np.ndarray:
         """One frame at medium rate/offset with gains applied (the
