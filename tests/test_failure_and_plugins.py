@@ -164,14 +164,17 @@ class TestRateRatio:
 class TestPrintRxFrameMetrics:
     def test_flag_flips_console_output(self, capsys):
         cfg = _tiny_scenario()
-        cfg.run_time = 0.05
+        cfg.run_time = 0.1
         cfg.nodes[1].print_rx_frame_metrics = True
         rt = ScenarioRuntime(cfg)
         rt.run()
         out = capsys.readouterr().out
+        # the clean tiny link MUST decode frames within 0.1 s (stream traffic
+        # at 1 Mb/s = ~12 packets queued; one 256-B frame is ~6.8 ms of air
+        # time) — a vacuous pass here would leave the flag untested
         frames = sum(len(n.radio.stats.records) for n in rt.nodes)
-        if frames:  # received frames must have printed the metrics table
-            assert "Received Frame" in out and "Payload Valid" in out
+        assert frames > 0, "tiny link decoded no frames; scenario broken"
+        assert "Received Frame" in out and "Payload Valid" in out
         # and with the flag off (default), nothing prints
         rt2 = ScenarioRuntime(_tiny_scenario())
         rt2.run()
