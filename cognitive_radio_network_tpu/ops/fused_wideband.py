@@ -93,6 +93,8 @@ def _kernel(
     xi_ref,
     hr_ref,
     hi_ref,
+    init_r_ref,
+    init_i_ref,
     coef_ref,
     dft_ref,
     out_ref,
@@ -140,13 +142,17 @@ def _kernel(
             return dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
 
     first = pl.program_id(0) == 0
-    # Stream start: the FIR runs from rest — zero the halo on tile 0.
+    # Stream start: tile 0's halo comes from the caller-provided initial
+    # history (the previous SHARD's tail in the sharded pipeline; zeros for
+    # an FIR starting from rest) instead of the clamped in-stream halo.
     hscale = jnp.where(first, 0.0, 1.0).astype(jnp.float32)
 
-    def fir(x_ref, h_ref):
-        x2 = jnp.concatenate(
-            [h_ref[_HALO - 4 :, :] * hscale, x_ref[...]], axis=0
-        )  # (TQ + 4, 2M)
+    def fir(x_ref, h_ref, init_ref):
+        head = (
+            h_ref[_HALO - 4 :, :] * hscale
+            + init_ref[_HALO - 4 :, :] * (1.0 - hscale)
+        )
+        x2 = jnp.concatenate([head, x_ref[...]], axis=0)  # (TQ + 4, 2M)
         xs = pltpu.roll(x2, _M, 1)  # lane-half swap (odd delays)
         v = coef_ref[0:1, :] * x2[4 : 4 + tile_q, :]
         for k in range(1, 4):
@@ -155,8 +161,8 @@ def _kernel(
             v = v + coef_ref[8 + k : 9 + k, :] * xs[4 - k : 4 - k + tile_q, :]
         return v
 
-    vr = fir(xr_ref, hr_ref)
-    vi = fir(xi_ref, hi_ref)
+    vr = fir(xr_ref, hr_ref, init_r_ref)
+    vi = fir(xi_ref, hi_ref, init_i_ref)
     y = mm(jnp.concatenate([vr, vi], axis=1), dft_ref[...])  # (TQ, 4M)
     e2 = y[:, : 2 * _M] ** 2 + y[:, 2 * _M :] ** 2  # (TQ, 2M)
     em = jnp.mean(
@@ -174,6 +180,7 @@ def wideband_energy_fused(
     precision: str = "high",
     tile_q: int = 2048,
     interpret: bool = False,
+    initial_history: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """xr/xi: (T*M,) float32 planar wide stream -> (C, M) per-cycle channel
     energies, C = T / cfg.block_len.  Numerically matches
@@ -182,6 +189,12 @@ def wideband_energy_fused(
     Requires M=64, P=8, even block_len with (block_len/2) | tile_q, and
     T*M divisible by 2*M*tile_q (pad the stream outside if needed — padding
     here would cost a full HBM copy).
+
+    ``initial_history``: optional (hist_r, hist_i), each (4, 2M) float32 —
+    the 4 pair rows (8 wide sample times) immediately preceding this stream,
+    seeding the FIR instead of rest-from-zero.  This is the cross-SHARD
+    overlap-save state in the sharded pipeline
+    (parallel/wideband.py::sharded_wideband_energy_fused).
     """
     m, p = cfg.num_channels, cfg.taps_per_channel
     if (m, p) != (_M, _P):
@@ -196,6 +209,16 @@ def wideband_energy_fused(
         )
     xr2 = xr.reshape(q_total, 2 * m)  # free: row-major pair rows
     xi2 = xi.reshape(q_total, 2 * m)
+    if initial_history is None:
+        init_r = jnp.zeros((_HALO, 2 * m), jnp.float32)
+        init_i = init_r
+    else:
+        hist_r, hist_i = initial_history
+        if hist_r.shape != (4, 2 * m):
+            raise ValueError(f"initial_history rows must be (4, {2 * m})")
+        pad = jnp.zeros((_HALO - 4, 2 * m), jnp.float32)
+        init_r = jnp.concatenate([pad, hist_r.astype(jnp.float32)])
+        init_i = jnp.concatenate([pad, hist_i.astype(jnp.float32)])
     coef = jnp.asarray(_coeff_rows(np.asarray(taps, np.float32)))
     dft = jnp.asarray(_dft_pair_matrix())
     cyc_per_tile = tile_q // rows_per_cycle
@@ -219,6 +242,8 @@ def wideband_energy_fused(
             pl.BlockSpec((tile_q, 2 * m), grid_rows, memory_space=pltpu.VMEM),
             pl.BlockSpec((_HALO, 2 * m), halo_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((_HALO, 2 * m), halo_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_HALO, 2 * m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_HALO, 2 * m), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 2 * m), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (4 * m, 4 * m), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -234,5 +259,5 @@ def wideband_energy_fused(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xr2, xi2, xr2, xi2, coef, dft)
+    )(xr2, xi2, xr2, xi2, init_r, init_i, coef, dft)
     return out

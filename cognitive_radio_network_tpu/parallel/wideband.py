@@ -36,6 +36,7 @@ __all__ = [
     "wideband_sense",
     "wideband_energy_packed",
     "sharded_wideband_energy_packed",
+    "sharded_wideband_energy_fused",
     "make_wideband_fn",
 ]
 
@@ -61,25 +62,67 @@ def wideband_sense(
     cfg: WidebandConfig,
     *,
     batch_axis: str | None = None,
+    use_fused: bool | None = None,
 ):
-    """planes: (T*M, 2) or (B, T*M, 2) wide IQ at rate M * per-channel rate.
+    """planes: (T*M, 2) / (B, T*M, 2) wide IQ at rate M * per-channel rate,
+    or a planar tuple (xr, xi) of (T*M,) streams (the zero-relayout layout).
 
     Returns dict:
       energy   (..., C, M)  per-cycle per-channel mean power
       noise    (..., C, 1)  cross-channel noise-floor estimate
       occupied (..., C, M)  boolean energy-detector decisions
     with C = T / block_len sense cycles.
+
+    The energy never needs the channelized IQ materialized, so the
+    unbatched time-sharded case routes through the lane-packed energy fast
+    path — the fused Pallas kernel on TPU
+    (:func:`sharded_wideband_energy_fused`, ``use_fused=None`` auto-selects
+    it off-CPU when shapes allow), the packed XLA formulation otherwise.
+    The batched case falls back to the materializing channelizer.
     """
     m = cfg.num_channels
-    chan = sharded_channelize(
-        planes, taps, mesh, batch_axis=batch_axis, precision=cfg.precision
-    )  # (..., T, M, 2)
     has_channel = "channel" in mesh.axis_names
     t_axis = "time" if "time" in mesh.axis_names else None
 
-    power = planes_abs2(chan)  # (..., T, M)
-    cyc = power.reshape(*power.shape[:-2], -1, cfg.block_len, m)
-    energy = jnp.mean(cyc, axis=-2)  # (..., C, M)
+    planar = isinstance(planes, (tuple, list))
+    energy = None
+    if (planar or planes.ndim == 2) and batch_axis is None and t_axis:
+        d = mesh.shape[t_axis]
+        n_wide = planes[0].shape[0] if planar else planes.shape[0]
+        t_total = n_wide // m
+        if t_total % (d * cfg.block_len) == 0:
+            xr, xi = planes if planar else (planes[..., 0], planes[..., 1])
+            fused_ok = (
+                m == 64
+                and cfg.taps_per_channel == 8
+                and cfg.block_len % 2 == 0
+                and (t_total // d) % 2 == 0
+            )
+            if use_fused is None:
+                use_fused = fused_ok and jax.default_backend() not in (
+                    "cpu",
+                    "gpu",
+                )
+            elif use_fused and not fused_ok:
+                raise ValueError("fused path needs M=64, P=8, even block_len")
+            if use_fused:
+                energy = sharded_wideband_energy_fused(
+                    xr, xi, mesh, cfg, time_axis=t_axis,
+                    precision=cfg.precision,
+                )
+            else:
+                energy = sharded_wideband_energy_packed(
+                    xr, xi, mesh, cfg, time_axis=t_axis,
+                    precision=cfg.precision,
+                )
+
+    if energy is None:
+        chan = sharded_channelize(
+            planes, taps, mesh, batch_axis=batch_axis, precision=cfg.precision
+        )  # (..., T, M, 2)
+        power = planes_abs2(chan)  # (..., T, M)
+        cyc = power.reshape(*power.shape[:-2], -1, cfg.block_len, m)
+        energy = jnp.mean(cyc, axis=-2)  # (..., C, M)
 
     if has_channel:
         spec = (
@@ -218,6 +261,85 @@ def sharded_wideband_energy_packed(
         return power.reshape(
             t_local // cfg.block_len, cfg.block_len, m
         ).mean(axis=1)
+
+    from jax import shard_map
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(time_axis), P(time_axis)),
+        out_specs=P(time_axis),
+        check_vma=False,
+    )(xr, xi)
+
+
+def _pick_tile_q(q_local: int, rows_per_cycle: int, max_tile: int = 2048) -> int:
+    """Largest tile_q <= max_tile that divides q_local and is a multiple of
+    rows_per_cycle (the fused kernel's tiling constraints)."""
+    t = (max_tile // rows_per_cycle) * rows_per_cycle
+    while t >= rows_per_cycle:
+        if q_local % t == 0:
+            return t
+        t -= rows_per_cycle
+    raise ValueError(
+        f"no valid tile_q for q_local={q_local}, rows_per_cycle={rows_per_cycle}"
+    )
+
+
+def sharded_wideband_energy_fused(
+    xr: jax.Array,
+    xi: jax.Array,
+    mesh: Mesh,
+    cfg: WidebandConfig,
+    *,
+    time_axis: str = "time",
+    precision: str = "high",
+    max_tile_q: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Time-sharded FUSED energy detector: each shard runs the VMEM-resident
+    Pallas kernel (ops/fused_wideband.py) on its segment; the cross-shard
+    FIR state — the previous shard's last 4 pair rows (8 wide sample times
+    >= the P-1=7 delay taps) — flows between ring neighbors via ONE ppermute
+    and seeds the kernel's tile-0 halo.  Bit-matches the kernel run on the
+    whole stream single-chip; this is BASELINE config 5's sharded pipeline
+    running at the fused kernel's per-chip rate.
+
+    Constraints: M=64, P=8; per-shard length must divide into pair rows and
+    whole sense cycles (T/shards multiple of block_len).
+    """
+    from cognitive_radio_network_tpu.ops.fused_wideband import (
+        wideband_energy_fused,
+    )
+
+    m = cfg.num_channels
+    d = mesh.shape[time_axis]
+    q_local = xr.shape[0] // d // (2 * m)
+    tile_q = _pick_tile_q(q_local, cfg.block_len // 2, max_tile_q)
+    # taps stay host numpy: the kernel folds them into its coefficient-row
+    # constant, and a closed-over device array would arrive as a tracer
+    # inside shard_map
+    taps = np.asarray(cfg.taps(), np.float32)
+
+    def local(xr_l, xi_l):
+        q = xr_l.shape[0] // (2 * m)
+        xr2 = xr_l.reshape(q, 2 * m)
+        xi2 = xi_l.reshape(q, 2 * m)
+        perm = [(i, (i + 1) % d) for i in range(d)]
+        hist_r = jax.lax.ppermute(xr2[-4:], time_axis, perm)
+        hist_i = jax.lax.ppermute(xi2[-4:], time_axis, perm)
+        # shard 0 starts the stream: FIR from rest, not shard d-1's tail
+        start = (jax.lax.axis_index(time_axis) != 0).astype(jnp.float32)
+        return wideband_energy_fused(
+            xr_l,
+            xi_l,
+            taps,
+            cfg,
+            precision=precision,
+            tile_q=tile_q,
+            interpret=interpret,
+            initial_history=(hist_r * start, hist_i * start),
+        )
 
     from jax import shard_map
 

@@ -196,3 +196,75 @@ class TestPackedWidebandEnergy:
         np.testing.assert_allclose(
             np.asarray(sharded), np.asarray(single), rtol=1e-6, atol=1e-9
         )
+
+    def test_sharded_fused_equals_single_fused(self, rng):
+        """The FUSED Pallas kernel under shard_map (one 4-pair-row ppermute
+        carrying the cross-shard FIR state into tile 0's halo) equals the
+        kernel run on the whole stream — the shard seams are exact."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from cognitive_radio_network_tpu.ops.fused_wideband import (
+            wideband_energy_fused,
+        )
+        from cognitive_radio_network_tpu.parallel.wideband import (
+            WidebandConfig,
+            sharded_wideband_energy_fused,
+        )
+        from cognitive_radio_network_tpu.signal.channelizer import polyphase_taps
+
+        cfg = WidebandConfig()  # M=64, P=8, block_len=128
+        t_total = 16 * cfg.block_len  # 4 cycles per shard on 4 devices
+        xr = jnp.asarray(rng.standard_normal(t_total * 64).astype(np.float32))
+        xi = jnp.asarray(rng.standard_normal(t_total * 64).astype(np.float32))
+        taps = jnp.asarray(polyphase_taps(64, 8))
+        single = wideband_energy_fused(
+            xr, xi, taps, cfg, precision="highest", tile_q=256, interpret=True
+        )
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("time",))
+        sharded = jax.jit(
+            lambda a, b: sharded_wideband_energy_fused(
+                a, b, mesh, cfg, precision="highest", interpret=True
+            )
+        )(xr, xi)
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(single), rtol=1e-6, atol=1e-9
+        )
+
+    def test_wideband_sense_routes_energy_fast_path(self, rng):
+        """wideband_sense's unbatched time-sharded case (packed fast path,
+        no channelized IQ materialized) matches the materializing
+        channelizer path, planes and planar-tuple inputs alike."""
+        import jax.numpy as jnp
+
+        from cognitive_radio_network_tpu.parallel.wideband import (
+            WidebandConfig,
+            wideband_sense,
+        )
+
+        cfg = WidebandConfig()
+        t_total = 8 * cfg.block_len
+        planes = rng.standard_normal((t_total * 64, 2)).astype(np.float32)
+        taps = jnp.asarray(cfg.taps())
+        mesh = make_mesh(MeshSpec(time=4, channel=2))
+        fast = wideband_sense(jnp.asarray(planes), taps, mesh, cfg)
+        planar = wideband_sense(
+            (jnp.asarray(planes[:, 0].copy()), jnp.asarray(planes[:, 1].copy())),
+            taps, mesh, cfg,
+        )
+        # expected energies via the materializing channelizer
+        from cognitive_radio_network_tpu.signal.channelizer import (
+            channelize_planes,
+        )
+
+        chan = np.asarray(channelize_planes(jnp.asarray(planes), taps))
+        power = chan[..., 0] ** 2 + chan[..., 1] ** 2
+        want = power.reshape(-1, cfg.block_len, 64).mean(axis=1)
+        np.testing.assert_allclose(
+            np.asarray(fast["energy"]), want, rtol=2e-4, atol=1e-7
+        )
+        for k in ("energy", "noise"):
+            np.testing.assert_allclose(
+                np.asarray(planar[k]), np.asarray(fast[k]), rtol=1e-6, atol=0
+            )
