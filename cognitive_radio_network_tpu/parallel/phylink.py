@@ -25,14 +25,19 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from cognitive_radio_network_tpu.phy.framegen import OFDMFrameConfig
+from cognitive_radio_network_tpu.phy.framegen import (
+    OFDMFrameConfig,
+    gen_for,
+    unpack_phy_header,
+)
 from cognitive_radio_network_tpu.phy.framesync import (
     OFDMFrameSync,
     _receive_block_graph,
+    _scan_block_graph,
     _to_np_planes,
 )
 
-__all__ = ["ShardedFrameReceiver"]
+__all__ = ["ShardedFrameReceiver", "ShardedStreamReceiver"]
 
 
 class ShardedFrameReceiver:
@@ -156,4 +161,219 @@ class ShardedFrameReceiver:
                 }
             )
             consumed_end = off + self.sync.gen.frame_len
+        return frames
+
+
+class ShardedStreamReceiver:
+    """Adaptive (liquid-style) STREAMING receiver over a time-sharded mesh.
+
+    The sharded counterpart of :class:`phy.framesync.StreamReceiver`, with
+    both properties liquid's synchronizer has and the fixed-config
+    :class:`ShardedFrameReceiver` lacks:
+
+    * **adaptive**: each frame's payload length / modulation / FEC / CRC
+      ride its coded PHY header (liquid's ofdmflexframe internal header,
+      applied per frame in rxCallback,
+      src/extensible_cognitive_radio.cpp:1385-1415), so only the OFDM
+      geometry is fixed at construction;
+    * **streaming**: a residual buffer carries stream state across
+      successive :meth:`receive` calls, so frames straddling BLOCK
+      boundaries survive to the next call (liquid keeps equivalent state
+      inside ofdmflexframesync across recv boundaries,
+      src/extensible_cognitive_radio.cpp:1307).
+
+    Design: detection — the O(N) work — is sharded: one fused per-shard
+    scan (top-K Schmidl&Cox + header demod + header FEC/CRC) under
+    ``shard_map``, with a HEADER-PREFIX halo ppermuted from the right
+    neighbor so candidates near shard seams still decode their headers;
+    ownership is by frame start, deduping seam detections.  Decode — the
+    O(frames) work — is one batched gather+demod+FEC+CRC dispatch per
+    distinct payload config over the whole block, so a frame body may span
+    any number of shards without a frame-length halo.
+    """
+
+    def __init__(
+        self,
+        cfg: OFDMFrameConfig,
+        mesh: Mesh,
+        *,
+        time_axis: str = "time",
+        k_per_shard: int = 16,
+    ):
+        self.cfg = cfg
+        self.layout = gen_for(cfg, 1)
+        m, cp = cfg.num_subcarriers, cfg.cp_len
+        self.prefix_len = (
+            2 * m + (m + cp) + self.layout.n_header_syms * (m + cp)
+        )
+        # halo: header prefix + the detector's correlation lookahead
+        # (win + half ~ 2.5m) + refinement span (2m)
+        self.scan_halo = self.prefix_len + 8 * m
+        self.mesh = mesh
+        self.time_axis = time_axis
+        self.k_per_shard = k_per_shard
+        self._syncs: dict[tuple, OFDMFrameSync] = {}
+        self._scan_cache: dict[int, callable] = {}
+        self._residual = np.zeros(0, np.complex64)
+        self._residual_offset = 0  # absolute sample index of residual[0]
+
+    def _sync_for(self, payload_len, mod, f0, f1, check) -> OFDMFrameSync:
+        import dataclasses
+
+        key = (payload_len, mod, f0, f1, check)
+        if key not in self._syncs:
+            cfg = dataclasses.replace(
+                self.cfg, mod_scheme=mod, fec0=f0, fec1=f1, crc_scheme=check
+            )
+            self._syncs[key] = OFDMFrameSync(cfg, payload_len)
+        return self._syncs[key]
+
+    def _sharded_scan(self, shard_len: int):
+        if shard_len in self._scan_cache:
+            return self._scan_cache[shard_len]
+        layout = self.layout
+        halo = self.scan_halo
+        axis = self.time_axis
+        k = self.k_per_shard
+        d = self.mesh.shape[axis]
+
+        def local(rr_l, ri_l, n_global):
+            # my HEAD goes to my LEFT neighbor (candidates near the seam
+            # need the right neighbor's first `halo` samples to finish
+            # their header region)
+            head_r = jax.lax.slice_in_dim(rr_l, 0, halo, axis=0)
+            head_i = jax.lax.slice_in_dim(ri_l, 0, halo, axis=0)
+            perm = [(i, (i - 1) % d) for i in range(d)]
+            ext_r = jnp.concatenate([rr_l, jax.lax.ppermute(head_r, axis, perm)])
+            ext_i = jnp.concatenate([ri_l, jax.lax.ppermute(head_i, axis, perm)])
+            idx = jax.lax.axis_index(axis)
+            start = idx * shard_len
+            # valid-length clip also masks the LAST shard's ring-wrapped
+            # halo (shard 0's head is not stream data there)
+            n_valid = jnp.clip(n_global - start, 0, shard_len + halo)
+            bests, peaks, cfos, headers, phy, hdr_ok = _scan_block_graph(
+                layout, ext_r, ext_i, n_valid, k=k
+            )
+            own = bests < shard_len  # ownership: frame starts in my segment
+            return {
+                "bests": bests + start,
+                "peaks": jnp.where(own, peaks, -1.0),
+                "cfos": cfos,
+                "headers": headers,
+                "phy": phy,
+                "hdr_ok": hdr_ok & own,
+            }
+
+        spec = {
+            "bests": P(axis),
+            "peaks": P(axis),
+            "cfos": P(axis),
+            "headers": P(axis, None),
+            "phy": P(axis, None),
+            "hdr_ok": P(axis),
+        }
+        fn = jax.jit(
+            shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(P(axis), P(axis), P()),
+                out_specs=spec,
+                check_vma=False,
+            )
+        )
+        self._scan_cache[shard_len] = fn
+        return fn
+
+    def receive(self, iq, threshold: float = 0.2):
+        """Append a block of IQ and extract every decodable frame.
+
+        Returns a list of {offset, stats, header, payload} with ``offset``
+        the ABSOLUTE sample index in the stream (across calls).  Host-loop
+        semantics (candidate ordering, dedup, config grouping, residual
+        carry) match :meth:`StreamReceiver.process`, so decodes bit-match
+        the single-device receiver."""
+        re_np, im_np = _to_np_planes(iq)
+        block = re_np + 1j * im_np
+        buf = np.concatenate([self._residual, block.astype(np.complex64)])
+        base = self._residual_offset
+        n = len(buf)
+        keep_from = max(n - self.prefix_len, 0)
+        if n < self.prefix_len + 4 * self.cfg.num_subcarriers:
+            self._residual = buf
+            return []
+
+        d = self.mesh.shape[self.time_axis]
+        # shard-length buckets (powers of two, >= halo so the head slice
+        # is in range) bound the number of compilations
+        min_len = max(-(-n // d), self.scan_halo, 4 * self.cfg.num_subcarriers)
+        shard_len = 1 << int(np.ceil(np.log2(min_len)))
+        tot = d * shard_len
+        rr = np.zeros(tot, np.float32)
+        ri = np.zeros(tot, np.float32)
+        rr[:n] = buf.real
+        ri[:n] = buf.imag
+        rr_d, ri_d = jnp.asarray(rr), jnp.asarray(ri)
+
+        # dispatch 1: the sharded scan (all shards in one jit call)
+        out = self._sharded_scan(shard_len)(rr_d, ri_d, jnp.int32(n))
+        bests, peaks, cfos, headers, phys, hdr_ok = (
+            np.asarray(out[kk])
+            for kk in ("bests", "peaks", "cfos", "headers", "phy", "hdr_ok")
+        )
+
+        # host: order candidates by position, resolve configs, group
+        # (identical discipline to StreamReceiver.process)
+        accepted: dict[tuple, list[tuple[int, int]]] = {}
+        consumed_end = 0
+        for i in np.argsort(bests, kind="stable"):
+            off, pk = int(bests[i]), float(peaks[i])
+            if pk < threshold or off < consumed_end:
+                continue
+            if off + self.prefix_len > n:
+                keep_from = min(keep_from, off)
+                break
+            if not hdr_ok[i]:
+                continue
+            parsed = unpack_phy_header(phys[i])
+            if parsed is None:
+                continue
+            sync = self._sync_for(*parsed)
+            flen = sync.gen.frame_len
+            if off + flen > n:
+                keep_from = min(keep_from, off)
+                break  # frame incomplete; resume next block
+            accepted.setdefault(parsed, []).append((off, int(i)))
+            consumed_end = off + flen
+
+        # dispatch 2..: one batched gather+demod+decode per payload config
+        frames = []
+        for parsed, items in accepted.items():
+            sync = self._sync_for(*parsed)
+            g = len(items)
+            # pad to a multiple of k_per_shard so decode-batch shapes bucket
+            # (a sharded scan can return up to d*k candidates; padding to
+            # exactly g would compile a fresh decode graph per count)
+            kpad = -(-g // self.k_per_shard) * self.k_per_shard
+            offs = np.zeros(kpad, np.int32)
+            cf = np.zeros(kpad, np.float32)
+            offs[:g] = [off for off, _ in items]
+            cf[:g] = [float(cfos[i]) for _, i in items]
+            dec = sync.decode_at(rr_d, ri_d, offs, cf)
+            dec = {kk: np.asarray(v) for kk, v in dec.items()}
+            for j, (off, _i) in enumerate(items):
+                frames.append(
+                    {
+                        "offset": base + off,
+                        "stats": sync._stats_from(dec, j),
+                        "header": dec["headers"][j],
+                        "payload": dec["payloads"][j],
+                    }
+                )
+        frames.sort(key=lambda f: f["offset"])
+
+        keep_from = max(keep_from, consumed_end)
+        max_residual = 4 * (self.prefix_len + 64 * self.cfg.symbol_len)
+        keep_from = max(keep_from, n - max_residual)
+        self._residual = buf[keep_from:]
+        self._residual_offset = base + keep_from
         return frames

@@ -16,7 +16,10 @@ from jax.sharding import Mesh
 
 from cognitive_radio_network_tpu.phy import OFDMFrameConfig, OFDMFrameGen, OFDMFrameSync
 from cognitive_radio_network_tpu.phy.framesync import StreamReceiver
-from cognitive_radio_network_tpu.parallel.phylink import ShardedFrameReceiver
+from cognitive_radio_network_tpu.parallel.phylink import (
+    ShardedFrameReceiver,
+    ShardedStreamReceiver,
+)
 
 
 def _mesh():
@@ -86,6 +89,109 @@ class TestShardedLink:
         frames = rx.receive(stream)
         got = [f["offset"] for f in frames]
         assert len(got) == len(set(got)) == len(offs)
+
+    def test_sharded_stream_mixed_configs_bitmatch(self, rng):
+        """The adaptive sharded receiver: two payload configs interleaved in
+        one stream, fed in successive blocks whose size guarantees frames
+        straddle BLOCK boundaries; every decode bit-matches the single-device
+        StreamReceiver fed the same blocks (VERDICT r2 task 2)."""
+        cfg_a = OFDMFrameConfig()  # qam4 / h128
+        cfg_b = OFDMFrameConfig(mod_scheme="qam16", fec0="v27", fec1="none")
+        gen_a = OFDMFrameGen(cfg_a, payload_len=40)
+        gen_b = OFDMFrameGen(cfg_b, payload_len=96)
+        pay_a = rng.integers(0, 256, (3, 40)).astype(np.uint8)
+        pay_b = rng.integers(0, 256, (3, 96)).astype(np.uint8)
+        hdr = rng.integers(0, 256, (6, 8)).astype(np.uint8)
+        iq_a = np.asarray(gen_a.assemble(hdr[:3], pay_a))
+        iq_b = np.asarray(gen_b.assemble(hdr[3:], pay_b))
+        gap = np.zeros(700, np.complex64)
+        stream = np.concatenate(
+            [gap, iq_a[0], gap, iq_b[0], gap, iq_a[1], gap, iq_b[1],
+             gap, iq_a[2], gap, iq_b[2], gap, gap]
+        )
+        sharded = ShardedStreamReceiver(cfg_a, _mesh(), k_per_shard=8)
+        single = StreamReceiver(cfg_a)
+        got_s, got_1 = [], []
+        blk = max(gen_a.frame_len, gen_b.frame_len) - 97  # force straddlers
+        for s in range(0, len(stream), blk):
+            got_s += sharded.receive(stream[s : s + blk])
+            got_1 += single.process(stream[s : s + blk])
+        assert len(got_s) == len(got_1) == 6
+        assert {len(f["payload"]) for f in got_s} == {40, 96}
+        for a, b in zip(got_s, got_1):
+            assert a["offset"] == b["offset"]
+            np.testing.assert_array_equal(a["payload"], b["payload"])
+            np.testing.assert_array_equal(a["header"], b["header"])
+            assert a["stats"].payload_valid
+            assert a["stats"].mod_scheme == b["stats"].mod_scheme
+            assert a["stats"].fec0 == b["stats"].fec0
+        np.testing.assert_array_equal(
+            [f["payload"] for f in got_s if len(f["payload"]) == 40], pay_a
+        )
+        np.testing.assert_array_equal(
+            [f["payload"] for f in got_s if len(f["payload"]) == 96], pay_b
+        )
+
+    def test_sharded_stream_shard_seam_straddlers(self, rng):
+        """Frames placed across every internal SHARD seam of a single large
+        block decode exactly once with correct bits (the header-prefix halo
+        at work), matching the single-device StreamReceiver."""
+        cfg = OFDMFrameConfig()
+        gen = OFDMFrameGen(cfg, payload_len=48)
+        rx = ShardedStreamReceiver(cfg, _mesh(), k_per_shard=8)
+        # first call on a fresh receiver: residual empty, so the internal
+        # shard length is the power-of-two bucket of ceil(n / 8)
+        d = 8
+        flen = gen.frame_len
+        shard_len = 1 << int(
+            np.ceil(np.log2(max(4 * flen, rx.scan_halo,
+                                4 * cfg.num_subcarriers)))
+        )
+        n = d * shard_len
+        b = 2 * d - 1
+        headers = rng.integers(0, 256, (b, 8)).astype(np.uint8)
+        payloads = rng.integers(0, 256, (b, 48)).astype(np.uint8)
+        iq = np.asarray(gen.assemble(headers, payloads))
+        stream = 0.005 * (
+            rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        ).astype(np.complex64)
+        offs = sorted(
+            [s * shard_len - flen // 2 for s in range(1, d)]
+            + [s * shard_len + shard_len // 4 for s in range(d)]
+        )
+        for i, o in enumerate(offs):
+            stream[o : o + flen] += iq[i]
+        frames = rx.receive(stream)
+        got = [f["offset"] for f in frames]
+        assert len(got) == len(set(got)) == len(offs)
+        single = StreamReceiver(cfg)
+        ref = single.process(stream)
+        assert len(ref) == len(offs)
+        for f, r, o in zip(frames, ref, offs):
+            assert abs(f["offset"] - o) <= 2
+            assert f["offset"] == r["offset"]
+            np.testing.assert_array_equal(f["payload"], r["payload"])
+            np.testing.assert_array_equal(f["header"], r["header"])
+
+    def test_sharded_stream_residual_carries_partial_frame(self, rng):
+        """A block ending mid-frame yields the frame on the NEXT call — the
+        residual carry (liquid keeps this state inside ofdmflexframesync,
+        src/extensible_cognitive_radio.cpp:1307)."""
+        cfg = OFDMFrameConfig()
+        gen = OFDMFrameGen(cfg, payload_len=64)
+        hdr = rng.integers(0, 256, (1, 8)).astype(np.uint8)
+        pay = rng.integers(0, 256, (1, 64)).astype(np.uint8)
+        iq = np.asarray(gen.assemble(hdr, pay))[0]
+        lead = np.zeros(900, np.complex64)
+        stream = np.concatenate([lead, iq, np.zeros(400, np.complex64)])
+        cut = 900 + gen.frame_len // 2  # mid-frame
+        rx = ShardedStreamReceiver(cfg, _mesh(), k_per_shard=4)
+        first = rx.receive(stream[:cut])
+        assert first == []
+        second = rx.receive(stream[cut:])
+        assert len(second) == 1
+        assert abs(second[0]["offset"] - 900) <= 2
+        np.testing.assert_array_equal(second[0]["payload"], pay[0])
 
     def test_matches_fused_single_device_receive_block(self, rng):
         """Sharded output == the fused single-device receive_block on the
