@@ -27,6 +27,30 @@ from cognitive_radio_network_tpu.signal.mlp import reference_weights
 TARGET_MSPS = 100.0
 
 
+def _wideband_energy_numpy(xr, xi, taps, cfg):
+    """Independent numpy transliteration of the wideband energy math
+    (polyphase depthwise FIR -> M-point DFT -> per-cycle mean power), the
+    on-TPU oracle for the fused Pallas kernel."""
+    m = cfg.num_channels
+    t = xr.size // m
+    vr_in, vi_in = xr.reshape(t, m), xi.reshape(t, m)
+    hf = taps[::-1].astype(np.float64)  # (P, M), flipped like _fir_rows
+    p = hf.shape[0]
+    ext_r = np.concatenate([np.zeros((p - 1, m)), vr_in], axis=0)
+    ext_i = np.concatenate([np.zeros((p - 1, m)), vi_in], axis=0)
+    vr = np.zeros((t, m))
+    vi = np.zeros((t, m))
+    for s in range(p):
+        vr += hf[s] * ext_r[s : s + t]
+        vi += hf[s] * ext_i[s : s + t]
+    ang = -2.0 * np.pi * np.outer(np.arange(m), np.arange(m)) / m
+    wre, wim = np.cos(ang), np.sin(ang)
+    yr = vr @ wre - vi @ wim
+    yi = vr @ wim + vi @ wre
+    power = yr**2 + yi**2
+    return power.reshape(t // cfg.block_len, cfg.block_len, m).mean(axis=1)
+
+
 def main() -> None:
     cfg = SenseConfig()
     # Large enough batch to saturate the chip, small enough to iterate fast:
@@ -59,6 +83,43 @@ def main() -> None:
     first = run_once()
     _ = np.asarray(first["decision"][:4])
 
+    # --- on-TPU correctness gate: the fused sense kernel's on-chip output
+    # vs the golden numpy transliteration (tests/golden_reference.py) on a
+    # synthesized PU scene.  A Mosaic lowering bug must abort the bench, not
+    # ship a throughput number (interpreter-mode unit tests cannot catch it).
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    import golden_reference as gold
+
+    from cognitive_radio_network_tpu.env import scene as scene_mod
+
+    gc = 16
+    gtrace = jnp.asarray(rng.integers(0, 3, size=gc), jnp.int32)
+    gpow = scene_mod.occupancy_to_powers(gtrace, 3, power=0.05)
+    g_planes = jax.jit(
+        scene_mod.synthesize_scene,
+        static_argnums=(2,),
+        static_argnames=("as_planes",),
+    )(jax.random.key(7), gpow, cfg.samples_per_cycle, as_planes=True)
+    g_np = np.asarray(g_planes).reshape(gc, cfg.averaging, cfg.fft_length, 2)
+    g_out = fn(
+        (
+            jnp.asarray(g_np[..., 0].reshape(-1, cfg.fft_length)),
+            jnp.asarray(g_np[..., 1].reshape(-1, cfg.fft_length)),
+        ),
+        params,
+    )
+    g_out = {k: np.asarray(v) for k, v in g_out.items()}
+    feats_ref, outs_ref, decs_ref = gold.sense_classify_reference(
+        g_np[..., 0] + 1j * g_np[..., 1]
+    )
+    np.testing.assert_allclose(g_out["features"], feats_ref, rtol=5e-3)
+    np.testing.assert_allclose(g_out["outputs"], outs_ref, atol=2e-3)
+    assert np.array_equal(g_out["decision"], decs_ref), (
+        "on-TPU sense decisions diverge from the golden reference"
+    )
+
     # Timed: device-resident input; enqueue many dispatches and force a full
     # drain with one scalar device->host fetch (block_until_ready alone does
     # not wait for completion on tunneled remote-execution backends, and the
@@ -79,7 +140,34 @@ def main() -> None:
 
     total_samples = reps * n
     msps = total_samples / elapsed / 1e6
-    p50_block_ms = float(elapsed / (reps * cycles) * 1e3)
+    amortized_block_ms = float(elapsed / (reps * cycles) * 1e3)
+
+    # True p50/p99 BLOCK latency (the BASELINE metric): N single-dispatch
+    # round trips, each drained by a scalar fetch, with the fetch-only
+    # baseline (the tunneled backend's ~25 ms host round trip, measured on
+    # an already-complete buffer) subtracted.  The amortized number above is
+    # pipeline throughput, not latency — both are reported.
+    lat_cycles = 64  # one dispatch ~ 64 sense cycles (a 25 ms radio block)
+    iq_lat = (
+        jnp.asarray(host_xr[: lat_cycles * cfg.averaging]),
+        jnp.asarray(host_xi[: lat_cycles * cfg.averaging]),
+    )
+    out_lat = fn(iq_lat, params)
+    _ = np.asarray(out_lat["decision"][:1])  # compile + drain
+    fetch_t = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        _ = np.asarray(out_lat["decision"][:1])
+        fetch_t.append(time.perf_counter() - t0)
+    t_fetch = float(np.median(fetch_t))
+    lat = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        o = fn(iq_lat, params)
+        _ = np.asarray(o["decision"][:1])
+        lat.append(time.perf_counter() - t0 - t_fetch)
+    p50_block_ms = float(np.percentile(lat, 50) * 1e3)
+    p99_block_ms = float(np.percentile(lat, 99) * 1e3)
 
     # Secondary: 64-channel wideband energy detect (BASELINE config 5's
     # per-chip building block), on the fused VMEM-resident Pallas kernel
@@ -106,6 +194,21 @@ def main() -> None:
     wxi = jnp.asarray(
         rng.standard_normal(t_chan * wcfg.num_channels, dtype=np.float32)
     )
+    # on-TPU correctness gate: the fused wideband Pallas kernel vs an
+    # independent numpy transliteration of the polyphase FIR + DFT + energy
+    # math, on a small slice (bf16_3x precision -> rtol 2e-3)
+    gt = 4096  # one (2M x tile_q) kernel tile
+    gwr = np.asarray(rng.standard_normal(gt * wcfg.num_channels), np.float32)
+    gwi = np.asarray(rng.standard_normal(gt * wcfg.num_channels), np.float32)
+    g_got = np.asarray(wfn(jnp.asarray(gwr), jnp.asarray(gwi)))
+    np.testing.assert_allclose(
+        g_got,
+        _wideband_energy_numpy(gwr, gwi, np.asarray(wtaps), wcfg),
+        rtol=2e-3,
+        atol=1e-5,
+        err_msg="on-TPU fused wideband energies diverge from the numpy oracle",
+    )
+
     for _ in range(4):
         wout = wfn(wxr, wxi)
     _ = np.asarray(wout[:1, :1])
@@ -220,7 +323,10 @@ def main() -> None:
                 "unit": "MSamples/s",
                 "vs_baseline": round(msps / TARGET_MSPS, 3),
                 "extra": {
-                    "pipelined_latency_ms_per_cycle": round(p50_block_ms, 6),
+                    "pipelined_latency_ms_per_cycle": round(amortized_block_ms, 6),
+                    "p50_block_latency_ms": round(p50_block_ms, 3),
+                    "p99_block_latency_ms": round(p99_block_ms, 3),
+                    "latency_block_cycles": lat_cycles,
                     "cycles_per_dispatch": cycles,
                     "device": str(jax.devices()[0]),
                     "reps": reps,
