@@ -90,5 +90,8 @@ def demodulate(scheme: str, x: jax.Array) -> tuple[jax.Array, jax.Array]:
     pts = constellation(scheme)
     d2 = jnp.abs(x[..., None] - pts) ** 2
     idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
-    evm = jnp.take_along_axis(d2, idx[..., None], axis=-1)[..., 0]
+    # the distance at the argmin IS the min — jnp.min is a cheap VPU
+    # reduction, where a take_along_axis gather lowers element-at-a-time
+    # on TPU (measured 6 ms of an 8 ms rx dispatch at 256 frames)
+    evm = jnp.min(d2, axis=-1)
     return idx, evm.astype(jnp.float32)
