@@ -284,6 +284,12 @@ class ShardedStreamReceiver:
         self._scan_cache[shard_len] = fn
         return fn
 
+    def skip(self, n: int) -> None:
+        """Advance past ``n`` squelched samples (same contract as
+        :meth:`StreamReceiver.skip`)."""
+        self._residual_offset += len(self._residual) + int(n)
+        self._residual = np.zeros(0, np.complex64)
+
     def receive(self, iq, threshold: float = 0.2):
         """Append a block of IQ and extract every decodable frame.
 

@@ -93,6 +93,11 @@ def build_node(i: int, nc: NodeConfig, mcfg: MediumConfig, log_sink):
     r = node.radio
     r.print_rx_frame_metrics = nc.print_rx_frame_metrics
     r.underrun_detect = nc.tx_underrun_detect
+    # receiver-referred thermal noise (runtime/medium.py): deterministic
+    # per (scenario seed, node index) in BOTH the in-process and the
+    # distributed runtime, so the two modes stay block-for-block identical
+    r.rx_noise_power = mcfg.noise_power
+    r.noise_seed = (int(mcfg.seed), int(i))
     r.set_tx_freq(nc.tx_freq)
     r.set_tx_rate(nc.tx_rate)
     r.set_tx_gain(nc.tx_gain - 20.0)  # UHD dB ref: 20 dB ~ unit gain

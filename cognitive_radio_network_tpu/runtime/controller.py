@@ -178,7 +178,10 @@ class ScenarioRuntime:
         blocks = self.medium.propagate(contributions)
         for i, (node, block) in enumerate(zip(self.nodes, blocks)):
             try:
-                node.push_rx_block(block, self.t)
+                if block is not None:
+                    node.push_rx_block(block, self.t)
+                elif hasattr(node, "push_rx_silence"):
+                    node.push_rx_silence(n, self.t)
                 node.run_ce(self.t)
                 node.drain_rx_packets(self.t)
             except Exception as e:  # noqa: BLE001

@@ -85,6 +85,14 @@ class PyMsgTransport:
     def __init__(self, sock: socket.socket):
         self.sock = sock
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        # medium blocks are ~512 KB messages: with default ~200 KB socket
+        # buffers a send blocks mid-message until the (busy) peer drains,
+        # serializing the lockstep; size the buffers to hold whole blocks
+        for opt in (socket.SO_SNDBUF, socket.SO_RCVBUF):
+            try:
+                sock.setsockopt(socket.SOL_SOCKET, opt, 4 << 20)
+            except OSError:
+                pass
 
     @staticmethod
     def listen(port: int) -> socket.socket:
@@ -114,7 +122,19 @@ class PyMsgTransport:
         server.close()
 
     def send(self, msg_type: int, payload: bytes = b"") -> None:
-        self.sock.sendall(struct.pack("<IB", len(payload), msg_type) + payload)
+        hdr = struct.pack("<IB", len(payload), msg_type)
+        if len(payload) <= 65536:
+            self.sock.sendall(hdr + payload)
+            return
+        # scatter-gather: skip concatenating the ~512 KB block payload
+        sent = self.sock.sendmsg([hdr, payload])
+        if sent < len(hdr):  # rare: finish the header, then the payload
+            self.sock.sendall(hdr[sent:])
+            sent = len(hdr)
+        mv = memoryview(payload)
+        off = sent - len(hdr)
+        while off < len(payload):
+            off += self.sock.send(mv[off:])
 
     def _read_exact(self, n: int, first_timeout_ms: int) -> bytes | None:
         chunks = b""
@@ -309,6 +329,7 @@ class NetController:
             num_steps = math.ceil(cfg.run_time / self.mcfg.block_dt - 1e-9)
             last_sc_t = 0.0
             wall_start = time.monotonic()
+            wall_first = None  # end of step 0 (nodes compile inside step 0)
             for step in range(num_steps):
                 if self.terminated:
                     break
@@ -344,6 +365,8 @@ class NetController:
                 for conn, block in zip(self.conns, blocks):
                     conn.send(Msg.RX_BLOCK, _pack_block(step, block))
                 self.t += self.mcfg.block_dt
+                if wall_first is None:
+                    wall_first = time.monotonic()
                 if (self.t - last_sc_t) * 1e3 >= self.sc.sc_timeout_ms:
                     self.sc.timeout()
                     last_sc_t = self.t
@@ -352,6 +375,14 @@ class NetController:
                     and time.monotonic() - wall_start > cfg.max_wall_time_s
                 ):
                     self.terminated = True
+            # wall-clock accounting for realtime-factor benchmarks: the full
+            # lockstep loop, plus a steady-state view excluding step 0 (node
+            # processes jit-compile their PHY/engine graphs inside it)
+            self.wall_time_s = time.monotonic() - wall_start
+            self.steady_wall_time_s = (
+                time.monotonic() - wall_first if wall_first is not None else 0.0
+            )
+            self.steady_t = max(self.t - self.mcfg.block_dt, 0.0)
             # termination + summary collection (:958-967 node side)
             for conn in self.conns:
                 try:
@@ -407,7 +438,33 @@ def run_node_client(
 ) -> int:
     """Node process main (src/crts_cognitive_radio.cpp:507-968 /
     src/crts_interferer.cpp:314-420 merged: the node type comes from the
-    pushed config)."""
+    pushed config).
+
+    Set ``CRN_NODE_PROFILE=/path/prefix`` to cProfile the node loop; stats
+    are dumped to ``<prefix><node_index>.pstats`` on exit (profiling the
+    reference's node processes needed gdb; here it is one env var)."""
+    import os
+
+    prof_prefix = os.environ.get("CRN_NODE_PROFILE")
+    if prof_prefix:
+        import cProfile
+
+        prof = cProfile.Profile()
+        prof.enable()
+        try:
+            return _run_node_client_inner(host, port, transport)
+        finally:
+            prof.disable()
+            idx = getattr(_run_node_client_inner, "last_index", "x")
+            prof.dump_stats(f"{prof_prefix}{idx}.pstats")
+    return _run_node_client_inner(host, port, transport)
+
+
+def _run_node_client_inner(
+    host: str,
+    port: int = CRTS_TCP_CONTROL_PORT,
+    transport: str = "auto",
+) -> int:
     tcls = get_transport(transport)
     conn = tcls.connect(host, port, 30000)
     try:
@@ -416,6 +473,7 @@ def run_node_client(
             raise RuntimeError(f"expected SCENARIO_PARAMETERS, got {typ}")
         d = json.loads(payload)
         idx = d["node_index"]
+        _run_node_client_inner.last_index = idx
         cfg = _scenario_from_asdict(d["scenario"])
         _fit_recv_cap(conn, cfg.medium_block_len)
         mcfg = MediumConfig(
@@ -425,6 +483,29 @@ def run_node_client(
             noise_power=cfg.medium_noise_power,
             seed=cfg.seed,
         )
+        from cognitive_radio_network_tpu.runtime.controller import (
+            phy_placement_ctx,
+        )
+
+        # placement must cover node CONSTRUCTION too (ScenarioRuntime.run
+        # wraps start() the same way): build_node/engine init create weights
+        # and compile radio graphs, and on a tunneled-accelerator default
+        # backend those first compiles take minutes — longer than the
+        # controller's lockstep step timeout.  With "host" placement this
+        # process never needs an accelerator at all, so pin the platform to
+        # cpu OUTRIGHT (a default_device ctx still initializes every
+        # registered plugin via local_devices, and N node processes racing
+        # to open a single tunneled TPU deadlock).  This is process-global,
+        # which is exactly right for a dedicated node-process main.
+        if cfg.phy_placement == "host":
+            try:
+                import jax
+
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:  # backends already initialized — ctx suffices
+                pass
+        placement = phy_placement_ctx(cfg.phy_placement)
+        placement.__enter__()  # exited in the function's finally
         sink = LogSink()
         node = build_node(idx, cfg.nodes[idx], mcfg, sink)
         fb_mask = 0
@@ -495,12 +576,6 @@ def run_node_client(
         # same step count as the controller (and as ScenarioRuntime's
         # `while t < run_time`), so traffic accounting is identical
         num_steps = math.ceil(cfg.run_time / mcfg.block_dt - 1e-9)
-        from cognitive_radio_network_tpu.runtime.controller import (
-            phy_placement_ctx,
-        )
-
-        placement = phy_placement_ctx(cfg.phy_placement)
-        placement.__enter__()  # exited in the function's finally
         while not terminated and step < num_steps:
             node.poll_traffic(t)
             contribution = node.pull_tx_block(mcfg.block_len)
@@ -526,6 +601,8 @@ def run_node_client(
                 break
             if block is not None:
                 node.push_rx_block(block, t)
+            elif hasattr(node, "push_rx_silence"):
+                node.push_rx_silence(mcfg.block_len, t)
             node.run_ce(t)
             node.drain_rx_packets(t)
             send_feedback(t)

@@ -86,7 +86,9 @@ class RadioNode:
             return None
         return self.radio.pull_tx_block(n)
 
-    def push_rx_block(self, block: np.ndarray, t: float) -> None:
+    def push_rx_block(
+        self, block: np.ndarray | None, t: float, n: int | None = None
+    ) -> None:
         if not self.started:
             return
         self._rx_block_count += 1
@@ -98,7 +100,13 @@ class RadioNode:
             # USRP rx ring overrun) and the CE sees UHD_OVERFLOW
             self.radio.notify_overflow(t)
             return
-        self.radio.push_rx_block(block, t)
+        self.radio.push_rx_block(block, t, n)
+
+    def push_rx_silence(self, n: int, t: float) -> None:
+        """No transmitter heard this block (runtime/medium.py returns None);
+        the radio still advances and adds its own thermal noise if it must
+        (sensing CEs), or squelch-skips for free."""
+        self.push_rx_block(None, t, n)
 
     def run_ce(self, t: float) -> None:
         """Drain radio events into engine executions + timeout semantics

@@ -15,6 +15,7 @@ boundary.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from collections import deque
 from typing import Callable, Optional
 
@@ -31,6 +32,36 @@ __all__ = ["RadioParams", "Radio", "TX_STOPPED", "TX_CONTINUOUS"]
 
 TX_STOPPED = 0
 TX_CONTINUOUS = 1
+
+
+@functools.lru_cache(maxsize=1)
+def _noise_pool() -> np.ndarray:
+    """Process-wide unit-variance complex Gaussian pool (32 MB); radios
+    draw noise as random slices with their own rngs (_noise_slice)."""
+    rng = np.random.default_rng(0xC0FFEE)
+    return rng.standard_normal((1 << 22, 2), dtype=np.float32).view(
+        np.complex64
+    )[:, 0]
+
+
+@functools.lru_cache(maxsize=128)
+def _mix_ramp(off: float, n: int) -> np.ndarray:
+    """One period of the digital mixer phasor exp(2j*pi*off*arange(n)).
+
+    Tune frequencies and block lengths are stable across a run, so the
+    65536-point complex exp (~2 ms per block per node, the mixer's entire
+    cost) is computed once; each block then pays one multiply pass plus a
+    scalar rotator for phase continuity."""
+    return np.exp(2j * np.pi * off * np.arange(n)).astype(np.complex64)
+
+
+def _mix(block: np.ndarray, off: float, cursor: int) -> np.ndarray:
+    """Phase-continuous mix of ``block`` by ``off`` cycles/sample starting
+    at absolute sample index ``cursor``."""
+    if off == 0.0:
+        return block
+    rot = np.complex64(np.exp(2j * np.pi * ((off * cursor) % 1.0)))
+    return block * (_mix_ramp(off, len(block)) * rot)
 
 
 @dataclasses.dataclass
@@ -110,6 +141,18 @@ class Radio:
         self._was_streaming = False
         self.rx_packet_sink: deque[tuple[int, np.ndarray]] = deque()  # the "TUN"
         self.num_tx_frames = 0
+        # rx squelch (liquid agc/squelch analog): skip frame detection on
+        # blocks at the tracked noise floor; ratio is linear POWER margin
+        self.rx_squelch_enabled = True
+        self.rx_squelch_ratio = 1.35  # ~1.3 dB above the floor
+        self._rx_noise_floor: float | None = None
+        self._rx_blocks_seen = 0
+        self._rx_hot_prev = True
+        # receiver-referred thermal noise (see runtime/medium.py): set from
+        # MediumConfig.noise_power by build_node; 0 = noiseless front end
+        self.rx_noise_power = 0.0
+        self.noise_seed: object = node_id
+        self._noise_rng: np.random.Generator | None = None
 
     # ------------------------------------------------------------------
     # parameter API (ECR setter/getter surface)
@@ -321,11 +364,17 @@ class Radio:
         headers[:, 1] = (nums & 0xFF).astype(np.uint8)
         headers[:, 2:8] = self.tx_header_control
         self.frame_num += f
+        # pad the batch to a power-of-two bucket: assemble jits one graph
+        # per batch size, and a traffic-driven stream hits dozens of sizes
+        # (measured ~6 s of recurring CPU compiles per distributed node)
+        fpad = 1 << max(f - 1, 0).bit_length()
+        hpad = np.zeros((fpad, 8), np.uint8)
+        hpad[:f] = headers
+        ppad = np.zeros((fpad, len(payloads[0])), np.uint8)
+        ppad[:f] = np.stack(payloads)
         # fetch planes, combine host-side: complex64 device->host transfers
         # are unsupported on some backends (signal/iq.py)
-        pl_ = np.asarray(
-            gen.assemble(headers, np.stack(payloads), as_planes=True)
-        )
+        pl_ = np.asarray(gen.assemble(hpad, ppad, as_planes=True))[:f]
         iq = (pl_[..., 0] + 1j * pl_[..., 1]).astype(np.complex64)
         g = float(soft_gain(self.params.tx_gain_soft)) * float(
             soft_gain(self.params.tx_gain)
@@ -409,8 +458,7 @@ class Radio:
             return None
         # mix to the tx center offset, phase-continuous across blocks
         off = (self.params.tx_freq - self.medium_center) / self.medium_rate
-        t = self._tx_sample_cursor + np.arange(n)
-        out = out * np.exp(2j * np.pi * off * t).astype(np.complex64)
+        out = _mix(out, off, self._tx_sample_cursor)
         self._tx_sample_cursor += n
         return out
 
@@ -421,34 +469,115 @@ class Radio:
         self._rx_dirty = False
         self._rx_resid_sens = np.zeros(0, np.complex64)
 
-    def push_rx_block(self, block: np.ndarray, t: float) -> None:
-        """Medium-facing: deliver a received block (medium rate) at sim time t."""
+    def _noise_slice(self, n: int) -> np.ndarray:
+        """Receiver thermal noise: ``n`` complex samples at rx_noise_power.
+
+        Served from a process-wide pre-drawn unit-Gaussian pool at offsets
+        from this radio's own seeded rng — per-sample draws cost more than
+        the rest of the rx front end at 13 MS/s, and per-radio pools would
+        be 32 MB x 48 nodes."""
+        pool = _noise_pool()
+        if self._noise_rng is None:
+            self._noise_rng = np.random.default_rng(self.noise_seed)
+        scale = np.float32(np.sqrt(self.rx_noise_power / 2))
+        out = np.empty(n, np.complex64)
+        filled = 0
+        while filled < n:  # n can exceed the pool in pathological configs
+            k = min(n - filled, len(pool) - 1)
+            o = int(self._noise_rng.integers(0, len(pool) - k))
+            np.multiply(pool[o : o + k], scale, out=out[filled : filled + k])
+            filled += k
+        return out
+
+    def _deliver_sensing(self, base: np.ndarray, t: float) -> None:
+        """Sensing tap (src/extensible_cognitive_radio.cpp:1310-1324):
+        forward raw rx-rate samples to the CE in fixed-size buffers."""
+        buf = np.concatenate([self._rx_resid_sens, base])
+        blen = self.ce_usrp_rx_buffer_length
+        k = len(buf) // blen
+        for i in range(k):
+            chunk = buf[i * blen : (i + 1) * blen]
+            ev = CEMetrics(ce_event=CEEvent.USRP_RX_SAMPS, time_s=t)
+            ev.payload = chunk  # ce_usrp_rx_buffer
+            self._events.append(ev)
+        self._rx_resid_sens = buf[k * blen :]
+
+    def push_rx_block(
+        self, block: np.ndarray | None, t: float, n: int | None = None
+    ) -> None:
+        """Medium-facing: deliver a received SIGNAL block (medium rate) at
+        sim time t.  ``block=None`` means no transmitter was heard (pass
+        ``n`` = block length); receiver thermal noise (``rx_noise_power``,
+        receiver-referred — see runtime/medium.py) is added here."""
         if not self.rx_running and not self.ce_sensing:
             return
         if self._rx_dirty or self._rx is None:
             self._apply_rx_params()
+        if block is not None:
+            n = len(block)
+        elif n is None:
+            raise ValueError("push_rx_block(None) needs the block length n")
+
+        # squelch (liquid's AGC squelch inside ofdmflexframesync,
+        # driven per-sample in ECR_rx_worker src/extensible_cognitive_radio
+        # .cpp:1299-1324): track the noise floor as the minimum block power
+        # and skip frame DETECTION on blocks at the floor (the sensing tap,
+        # like liquid's AGC, still sees every sample).  Mean power is
+        # mixing/resampling-invariant, so it is measured on the raw signal
+        # plus the known thermal power — the noise samples themselves are
+        # only ever synthesized for blocks that get processed.  A block
+        # following an above-floor block is always processed so a frame
+        # tail straddling a hot->cold boundary still decodes.
+        sp = (
+            0.0
+            if block is None
+            else float(np.vdot(block, block).real) / max(n, 1)
+        )
+        bp = sp + self.rx_noise_power
+        nf = self._rx_noise_floor
+        nf = bp if nf is None else min(nf * 1.0005, bp) if bp < nf else nf * 1.0005
+        self._rx_noise_floor = nf
+        self._rx_blocks_seen += 1
+        hot = bp > self.rx_squelch_ratio * nf + 1e-20
+        squelch = (
+            self.rx_squelch_enabled
+            and self._rx_blocks_seen > 4
+            and not hot
+            and not self._rx_hot_prev
+        )
+        self._rx_hot_prev = hot
+        if squelch and not self.ce_sensing:
+            self._rx_sample_cursor += n
+            if self.rx_running and self._rx is not None:
+                up, down = _rate_ratio(self.params.rx_rate, self.medium_rate)
+                self._rx.skip(-(-n * up // down))
+            return
+
+        # receiver front-end noise
+        if self.rx_noise_power > 0.0:
+            noise = self._noise_slice(n)
+            block = noise if block is None else block + noise
+        elif block is None:
+            block = np.zeros(n, np.complex64)
+
         # mix down from the rx center offset and decimate to rx_rate
         off = (self.params.rx_freq - self.medium_center) / self.medium_rate
-        n = len(block)
-        t_idx = self._rx_sample_cursor + np.arange(n)
-        base = block * np.exp(-2j * np.pi * off * t_idx).astype(np.complex64)
+        base = _mix(block, -off, self._rx_sample_cursor)
         self._rx_sample_cursor += n
         up, down = _rate_ratio(self.params.rx_rate, self.medium_rate)
         if (up, down) != (1, 1):
             base = resample_poly(base, up, down).astype(np.complex64)
+        if squelch:  # sensing-only delivery: frame detection stays skipped
+            if self.ce_sensing:
+                self._deliver_sensing(base, t)
+            if self.rx_running and self._rx is not None:
+                self._rx.skip(len(base))
+            return
 
         # sensing tap (src/extensible_cognitive_radio.cpp:1310-1324): forward
         # raw samples to the CE in fixed-size buffers
         if self.ce_sensing:
-            buf = np.concatenate([self._rx_resid_sens, base])
-            blen = self.ce_usrp_rx_buffer_length
-            k = len(buf) // blen
-            for i in range(k):
-                chunk = buf[i * blen : (i + 1) * blen]
-                ev = CEMetrics(ce_event=CEEvent.USRP_RX_SAMPS, time_s=t)
-                ev.payload = chunk  # ce_usrp_rx_buffer
-                self._events.append(ev)
-            self._rx_resid_sens = buf[k * blen :]
+            self._deliver_sensing(base, t)
 
         if not self.rx_running:
             return

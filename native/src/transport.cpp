@@ -90,6 +90,12 @@ int crn_tcp_accept(int server_fd, int timeout_ms) {
   if (fd < 0) return -1;
   int one = 1;
   setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+  // medium blocks are ~512 KB messages: default ~200 KB socket buffers make
+  // a send block mid-message until the (busy) peer drains, serializing the
+  // lockstep protocol
+  int bufsz = 4 << 20;
+  setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &bufsz, sizeof(bufsz));
+  setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &bufsz, sizeof(bufsz));
   return fd;
 }
 
@@ -133,6 +139,9 @@ int crn_tcp_connect(const char *host, uint16_t port, int timeout_ms) {
   ::fcntl(fd, F_SETFL, flags);  // restore blocking mode
   int one = 1;
   setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+  int bufsz = 4 << 20;  // see crn_tcp_accept
+  setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &bufsz, sizeof(bufsz));
+  setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &bufsz, sizeof(bufsz));
   return fd;
 }
 
