@@ -142,30 +142,48 @@ def main() -> None:
     msps = total_samples / elapsed / 1e6
     amortized_block_ms = float(elapsed / (reps * cycles) * 1e3)
 
-    # True p50/p99 BLOCK latency (the BASELINE metric): N single-dispatch
-    # round trips, each drained by a scalar fetch, with the fetch-only
-    # baseline (the tunneled backend's ~25 ms host round trip, measured on
-    # an already-complete buffer) subtracted.  The amortized number above is
-    # pipeline throughput, not latency — both are reported.
-    lat_cycles = 64  # one dispatch ~ 64 sense cycles (a 25 ms radio block)
+    # True p50/p99 BLOCK latency (the BASELINE metric).  One 64-cycle
+    # sense block costs ~10 us on the chip — far below the tunneled
+    # backend's ~25 ms host round trip, so a per-dispatch measurement with
+    # a fetch baseline subtracted is pure noise (it produced negative
+    # p50s).  Instead: run the block graph B times back-to-back inside ONE
+    # jit (lax.scan with a threaded carry so nothing is elided) and take
+    # the slope between two B values — the (dispatch + fetch) constant
+    # cancels exactly, leaving per-block device latency.  The distribution
+    # over repeats gives p50/p99.
+    lat_cycles = 64  # one block ~ 64 sense cycles (a 25 ms radio block)
     iq_lat = (
         jnp.asarray(host_xr[: lat_cycles * cfg.averaging]),
         jnp.asarray(host_xi[: lat_cycles * cfg.averaging]),
     )
-    out_lat = fn(iq_lat, params)
-    _ = np.asarray(out_lat["decision"][:1])  # compile + drain
-    fetch_t = []
-    for _ in range(20):
+
+    def _block_chain(b: int):
+        def chained(iq, params):
+            def body(carry, _):
+                # the carry feeds the input so iterations are data-dependent
+                # — otherwise XLA hoists the loop-invariant sense call out of
+                # the scan and the whole chain costs one block
+                out = fn((iq[0] + carry, iq[1]), params)
+                return carry + out["decision"][0].astype(jnp.float32) * 1e-30, None
+
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=b)
+            return s
+
+        return jax.jit(chained, static_argnums=())
+
+    b1, b2 = 64, 1024
+    chain1, chain2 = _block_chain(b1), _block_chain(b2)
+    _ = np.asarray(chain1(iq_lat, params))  # compile + drain
+    _ = np.asarray(chain2(iq_lat, params))
+
+    def _timed(chain):
         t0 = time.perf_counter()
-        _ = np.asarray(out_lat["decision"][:1])
-        fetch_t.append(time.perf_counter() - t0)
-    t_fetch = float(np.median(fetch_t))
+        _ = np.asarray(chain(iq_lat, params))
+        return time.perf_counter() - t0
+
     lat = []
-    for _ in range(50):
-        t0 = time.perf_counter()
-        o = fn(iq_lat, params)
-        _ = np.asarray(o["decision"][:1])
-        lat.append(time.perf_counter() - t0 - t_fetch)
+    for _ in range(15):
+        lat.append((_timed(chain2) - _timed(chain1)) / (b2 - b1))
     p50_block_ms = float(np.percentile(lat, 50) * 1e3)
     p99_block_ms = float(np.percentile(lat, 99) * 1e3)
 
@@ -323,8 +341,12 @@ def main() -> None:
     # Steady-state factor excludes step 0, where node processes jit-compile.
     from cognitive_radio_network_tpu.runtime.netctl import NetController
 
-    # 40 sim-seconds so the node processes' one-time jit compiles (spread
-    # over the first ~50 steps as shape buckets fill) amortize out.
+    # Warm run first: node processes fill the persistent XLA compilation
+    # cache (runtime/netctl.py) so the timed run measures steady state, not
+    # first-machine compiles.  Then 40 sim-seconds timed.
+    wcfg_d = load_scenario(scn)
+    wcfg_d.run_time = 2.0
+    NetController(wcfg_d, port=47489, start_pad_s=1.0).run()
     dcfg = load_scenario(scn)
     dcfg.run_time = 40.0
     dctl = NetController(dcfg, port=47490, start_pad_s=1.0)

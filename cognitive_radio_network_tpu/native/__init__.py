@@ -109,6 +109,16 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_char_p,
         ctypes.c_uint32,
     ]
+    if hasattr(lib, "crn_msg_send2"):  # older prebuilt libs lack it
+        lib.crn_msg_send2.restype = ctypes.c_int
+        lib.crn_msg_send2.argtypes = [
+            ctypes.c_int,
+            ctypes.c_uint8,
+            ctypes.c_char_p,
+            ctypes.c_uint32,
+            ctypes.c_void_p,
+            ctypes.c_uint32,
+        ]
     lib.crn_msg_recv.restype = ctypes.c_int64
     lib.crn_msg_recv.argtypes = [
         ctypes.c_int,
@@ -386,6 +396,27 @@ class MsgTransport:
 
     def send(self, msg_type: int, payload: bytes = b"") -> None:
         if self._lib.crn_msg_send(self.fd, msg_type, payload, len(payload)) != 0:
+            raise ConnectionError("send failed")
+
+    def send2(self, msg_type: int, head: bytes, arr: np.ndarray) -> None:
+        """One framed message with payload head||arr, gathered with writev —
+        the ~0.5 MB medium-block buffer is never copied on this side."""
+        arr = np.ascontiguousarray(arr)
+        fn = getattr(self._lib, "crn_msg_send2", None)
+        if fn is None:
+            self.send(msg_type, head + arr.tobytes())
+            return
+        if (
+            fn(
+                self.fd,
+                msg_type,
+                head,
+                len(head),
+                arr.ctypes.data_as(ctypes.c_void_p),
+                arr.nbytes,
+            )
+            != 0
+        ):
             raise ConnectionError("send failed")
 
     def recv(self, timeout_ms: int = -1) -> tuple[int, bytes] | None:

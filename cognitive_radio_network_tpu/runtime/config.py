@@ -134,6 +134,15 @@ class ScenarioConfig:
     # peer's next TX/RX_BLOCK.  Generous default because a node subprocess's
     # first jit compile on a tunneled TPU backend can take >30 s
     net_step_timeout_s: float = 120.0
+    # multi-process tx pipelining: node processes speculatively assemble
+    # block N+1 while the controller still works on block N.  A CE/control
+    # tx-param change then lands one block (~block_dt) later than in the
+    # serial loop — the latency a physical radio has anyway between a CE
+    # retune and the first frame actually transmitted with it (liquid's
+    # framegen is recreated BETWEEN frames; in-flight samples keep the old
+    # params, src/extensible_cognitive_radio.cpp:829-881).  Set false for
+    # bit-identical serial lockstep semantics.
+    net_pipeline: bool = True
     # where the per-block link PHY runs: "host" pins the scenario loop's
     # small-block dispatches (frame assemble, frame sync, engine sense) to
     # the host CPU backend — the real-time control loop is latency-bound
@@ -275,6 +284,7 @@ def scenario_from_dict(d: dict[str, Any], name: str = "scenario") -> ScenarioCon
         "seed",
         "phy_placement",
         "max_wall_time_s",
+        "net_pipeline",
     ):
         if k in d:
             setattr(sc, k, d[k])

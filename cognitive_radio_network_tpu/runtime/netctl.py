@@ -136,6 +136,26 @@ class PyMsgTransport:
         while off < len(payload):
             off += self.sock.send(mv[off:])
 
+    def send2(self, msg_type: int, head: bytes, arr: np.ndarray) -> None:
+        """Framed message with payload head||arr; the array buffer is
+        scatter-gathered, never serialized to bytes."""
+        arr = np.ascontiguousarray(arr)
+        mv = memoryview(arr).cast("B")
+        hdr = struct.pack("<IB", len(head) + len(mv), msg_type)
+        parts = [hdr, head, mv]
+        sent = self.sock.sendmsg(parts)
+        total = len(hdr) + len(head) + len(mv)
+        while sent < total:  # finish any partial send without concatenating
+            off = sent
+            rest = []
+            for p in parts:
+                if off >= len(p):
+                    off -= len(p)
+                    continue
+                rest.append(memoryview(p)[off:] if off else p)
+                off = 0
+            sent += self.sock.sendmsg(rest)
+
     def _read_exact(self, n: int, first_timeout_ms: int) -> bytes | None:
         chunks = b""
         self.sock.settimeout(None if first_timeout_ms < 0 else first_timeout_ms / 1e3)
@@ -182,11 +202,27 @@ def _pack_block(step: int, block: np.ndarray | None) -> bytes:
     return hdr + np.ascontiguousarray(block, np.complex64).tobytes()
 
 
+def _send_block(conn, msg_type: int, step: int, block: np.ndarray | None) -> None:
+    """Send a TX/RX_BLOCK, scatter-gathering the sample buffer when the
+    transport supports it (both do; the fallback packs bytes)."""
+    if block is None:
+        conn.send(msg_type, struct.pack("<I", step))
+    elif hasattr(conn, "send2"):
+        conn.send2(
+            msg_type,
+            struct.pack("<I", step),
+            np.ascontiguousarray(block, np.complex64),
+        )
+    else:
+        conn.send(msg_type, _pack_block(step, block))
+
+
 def _unpack_block(payload: bytes) -> tuple[int, np.ndarray | None]:
-    (step,) = struct.unpack("<I", payload[:4])
+    (step,) = struct.unpack_from("<I", payload)
     if len(payload) == 4:
         return step, None
-    return step, np.frombuffer(payload[4:], np.complex64)
+    # frombuffer with offset: no second copy of the ~0.5 MB payload
+    return step, np.frombuffer(payload, np.complex64, offset=4)
 
 
 def _json(obj: Any) -> bytes:
@@ -301,6 +337,7 @@ class NetController:
 
     def run(self, rep: int = 1) -> ScenarioSummary:
         cfg = self.cfg
+        send_pool = None  # created once the node count is known
         srv = self.tcls.listen(self.port)
         try:
             self._launch_nodes()
@@ -327,6 +364,12 @@ class NetController:
             # lockstep main loop: one medium block per step; step count
             # matches ScenarioRuntime's `while t < run_time` semantics
             num_steps = math.ceil(cfg.run_time / self.mcfg.block_dt - 1e-9)
+            # rx blocks go out on a pool: each ~0.5 MB send is a kernel-
+            # buffer memcpy on its own fd, so N sends cost max() not sum()
+            if len(self.conns) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                send_pool = ThreadPoolExecutor(min(len(self.conns), 8))
             last_sc_t = 0.0
             wall_start = time.monotonic()
             wall_first = None  # end of step 0 (nodes compile inside step 0)
@@ -362,8 +405,18 @@ class NetController:
                 if self.terminated:
                     break
                 blocks = self.medium.propagate(contributions)
-                for conn, block in zip(self.conns, blocks):
-                    conn.send(Msg.RX_BLOCK, _pack_block(step, block))
+                if send_pool is not None:
+                    list(
+                        send_pool.map(
+                            lambda cb, s=step: _send_block(
+                                cb[0], Msg.RX_BLOCK, s, cb[1]
+                            ),
+                            zip(self.conns, blocks),
+                        )
+                    )
+                else:
+                    for conn, block in zip(self.conns, blocks):
+                        _send_block(conn, Msg.RX_BLOCK, step, block)
                 self.t += self.mcfg.block_dt
                 if wall_first is None:
                     wall_first = time.monotonic()
@@ -404,6 +457,8 @@ class NetController:
                     elif typ == Msg.FEEDBACK:
                         self._handle_feedback(payload)
         finally:
+            if send_pool is not None:
+                send_pool.shutdown(wait=False)
             self.log.flush()  # persist spill logs even on abnormal exit
             for conn in self.conns:
                 try:
@@ -504,6 +559,27 @@ def _run_node_client_inner(
                 jax.config.update("jax_platforms", "cpu")
             except Exception:  # backends already initialized — ctx suffices
                 pass
+        # Persistent XLA compilation cache: the N identical node processes
+        # of a scenario (and repeat runs) share compiled graphs on disk
+        # instead of each re-compiling ~10 s of radio/engine graphs — the
+        # reference's node binaries are AOT-compiled C++; this is the JAX
+        # equivalent.  CRN_COMPILE_CACHE overrides the location; set it
+        # empty to disable.
+        import os as _os
+
+        cache_dir = _os.environ.get(
+            "CRN_COMPILE_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "crn_tpu_xla"),
+        )
+        if cache_dir:
+            try:
+                import jax
+
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
+            except Exception:
+                pass
         placement = phy_placement_ctx(cfg.phy_placement)
         placement.__enter__()  # exited in the function's finally
         sink = LogSink()
@@ -576,38 +652,98 @@ def _run_node_client_inner(
         # same step count as the controller (and as ScenarioRuntime's
         # `while t < run_time`), so traffic accounting is identical
         num_steps = math.ceil(cfg.run_time / mcfg.block_dt - 1e-9)
-        while not terminated and step < num_steps:
-            node.poll_traffic(t)
-            contribution = node.pull_tx_block(mcfg.block_len)
-            conn.send(Msg.TX_BLOCK, _pack_block(step, contribution))
-            while True:
-                msg = conn.recv(int(cfg.net_step_timeout_s * 1e3))
-                if msg is None:
-                    raise TimeoutError(f"controller stalled at step {step}")
-                typ, payload = msg
-                if typ == Msg.RX_BLOCK:
-                    _, block = _unpack_block(payload)
-                    break
-                if typ == Msg.CONTROL:
-                    c = json.loads(payload)
-                    apply_node_control(
-                        node, CrtsParam(c["param"]), c["value"], on_fb_en=on_fb_en
-                    )
-                elif typ == Msg.TERMINATE:
-                    terminated = True
-                    block = None
-                    break
-            if terminated:
-                break
+
+        # Pipelined lockstep (ScenarioConfig.net_pipeline): the serial loop
+        # is [produce tx N -> send -> wait -> process rx N] with every stage
+        # on the critical path.  Here the node mirrors the reference's own
+        # thread structure (tx worker / CE thread,
+        # src/extensible_cognitive_radio.cpp:1643-1758 / :1761-1808):
+        #
+        #   send TX N  ->  process RX N-1        (overlaps the controller's
+        #                  while a worker thread   gather+propagate+send for
+        #                  produces TX N+1         step N)
+        #              ->  recv RX N
+        #
+        # so per step the wall cost is max(node work, controller work)
+        # instead of their sum.  Thread safety is the reference's
+        # discipline: param writes are single atomic field stores, tx/ctrl
+        # queues and the CE event queue are deques (atomic append/popleft),
+        # and the tx producer touches only tx-side state while the main
+        # thread processes rx.  Semantics vs the serial loop: a CE/control
+        # tx-param change reaches the air up to two blocks (~2*block_dt)
+        # later, and rx-driven CE decisions act one block later — the same
+        # latencies a physical radio has between a CE retune and the first
+        # frame transmitted with it.  net_pipeline=false restores the
+        # bit-identical serial loop.
+        executor = None
+        if getattr(cfg, "net_pipeline", True):
+            from concurrent.futures import ThreadPoolExecutor
+
+            executor = ThreadPoolExecutor(1)
+
+        def produce(tt: float):
+            node.poll_traffic(tt)
+            return node.pull_tx_block(mcfg.block_len)
+
+        def process_rx(block, tt: float) -> None:
             if block is not None:
-                node.push_rx_block(block, t)
+                node.push_rx_block(block, tt)
             elif hasattr(node, "push_rx_silence"):
-                node.push_rx_silence(mcfg.block_len, t)
-            node.run_ce(t)
-            node.drain_rx_packets(t)
-            send_feedback(t)
-            t += mcfg.block_dt
-            step += 1
+                node.push_rx_silence(mcfg.block_len, tt)
+            node.run_ce(tt)
+            node.drain_rx_packets(tt)
+            send_feedback(tt)
+
+        pending = None  # tx block produced speculatively for this step
+        prev = None  # (rx block, t) received last step, not yet processed
+        try:
+            while not terminated and step < num_steps:
+                contribution = pending if pending is not None else produce(t)
+                pending = None
+                _send_block(conn, Msg.TX_BLOCK, step, contribution)
+                fut = (
+                    executor.submit(produce, t + mcfg.block_dt)
+                    if executor is not None and step + 1 < num_steps
+                    else None
+                )
+                if prev is not None:
+                    # overlaps the controller's work on THIS step (and the
+                    # producer thread's tx assembly for the next one)
+                    process_rx(*prev)
+                    prev = None
+                while True:
+                    msg = conn.recv(int(cfg.net_step_timeout_s * 1e3))
+                    if msg is None:
+                        raise TimeoutError(f"controller stalled at step {step}")
+                    typ, payload = msg
+                    if typ == Msg.RX_BLOCK:
+                        _, block = _unpack_block(payload)
+                        break
+                    if typ == Msg.CONTROL:
+                        c = json.loads(payload)
+                        apply_node_control(
+                            node, CrtsParam(c["param"]), c["value"], on_fb_en=on_fb_en
+                        )
+                    elif typ == Msg.TERMINATE:
+                        terminated = True
+                        block = None
+                        break
+                if fut is not None:
+                    # join before the next iteration touches tx state
+                    pending = fut.result()
+                if terminated:
+                    break
+                if executor is None:
+                    process_rx(block, t)  # serial loop: process in place
+                else:
+                    prev = (block, t)
+                t += mcfg.block_dt
+                step += 1
+            if prev is not None:
+                process_rx(*prev)  # drain the one-step pipeline
+        finally:
+            if executor is not None:
+                executor.shutdown(wait=True)
         # end-of-run summary (CRTS_MSG_SUMMARY, :958-967)
         if isinstance(node, RadioNode):
             sent = node.traffic.packet_num * 256

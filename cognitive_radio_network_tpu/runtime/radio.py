@@ -26,7 +26,10 @@ from cognitive_radio_network_tpu.phy.framegen import OFDMFrameConfig, OFDMFrameG
 from cognitive_radio_network_tpu.phy.framesync import StreamReceiver
 from cognitive_radio_network_tpu.runtime.engine import CEEvent, CEMetrics, FrameType
 from cognitive_radio_network_tpu.runtime.stats import RxStatistics
-from cognitive_radio_network_tpu.signal.resample import resample_poly
+from cognitive_radio_network_tpu.signal.resample import (
+    resample_poly,
+    resample_poly_jnp,
+)
 
 __all__ = ["RadioParams", "Radio", "TX_STOPPED", "TX_CONTINUOUS"]
 
@@ -53,6 +56,40 @@ def _mix_ramp(off: float, n: int) -> np.ndarray:
     cost) is computed once; each block then pays one multiply pass plus a
     scalar rotator for phase continuity."""
     return np.exp(2j * np.pi * off * np.arange(n)).astype(np.complex64)
+
+
+_TX_CHAIN_CACHE: dict[tuple, Callable] = {}
+
+
+def _tx_chain_fn(gen: OFDMFrameGen, up: int, down: int) -> Callable:
+    """Jitted assemble->gain->resample chain for one (generator, rate
+    ratio).  Keyed on the generator identity: ``gen_for`` already caches
+    generators process-wide per config, so identically-configured radios
+    share one compiled chain (same discipline as framesync's module-level
+    jit caches)."""
+    key = (id(gen), up, down)
+    fn = _TX_CHAIN_CACHE.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        inner = gen._assemble_planes_jit  # nested jit inlines
+
+        @jax.jit
+        def fn(hdr_bits, pay_bits, gain):
+            pl = inner(hdr_bits, pay_bits) * gain  # (B, L, 2)
+            if (up, down) != (1, 1):
+                pl = jnp.stack(
+                    [
+                        resample_poly_jnp(pl[..., 0], up, down),
+                        resample_poly_jnp(pl[..., 1], up, down),
+                    ],
+                    axis=-1,
+                )
+            return pl
+
+        _TX_CHAIN_CACHE[key] = fn
+    return fn
 
 
 def _mix(block: np.ndarray, off: float, cursor: int) -> np.ndarray:
@@ -129,7 +166,12 @@ class Radio:
         self._gen: OFDMFrameGen | None = None
         self._rx: StreamReceiver | None = None
         self._rx_dirty = True
-        self._events: list[CEMetrics] = []
+        # deque, not list: the pipelined node loop's tx-producer thread may
+        # push TX_COMPLETE/underrun events while the CE drains (the
+        # reference has the same tx-worker/CE-thread concurrency,
+        # src/extensible_cognitive_radio.cpp:1643-1758) — deque append and
+        # popleft are individually atomic under the GIL
+        self._events: deque[CEMetrics] = deque()
         # live per-frame metrics console (print_metrics,
         # src/extensible_cognitive_radio.cpp:1814-1842), enabled by the
         # node config's print_rx_frame_metrics flag
@@ -372,18 +414,28 @@ class Radio:
         hpad[:f] = headers
         ppad = np.zeros((fpad, len(payloads[0])), np.uint8)
         ppad[:f] = np.stack(payloads)
-        # fetch planes, combine host-side: complex64 device->host transfers
-        # are unsupported on some backends (signal/iq.py)
-        pl_ = np.asarray(gen.assemble(hpad, ppad, as_planes=True))[:f]
-        iq = (pl_[..., 0] + 1j * pl_[..., 1]).astype(np.complex64)
         g = float(soft_gain(self.params.tx_gain_soft)) * float(
             soft_gain(self.params.tx_gain)
         )
-        iq = (g * iq).astype(np.complex64)
-        # resample tx_rate -> medium rate (batched: rows are independent)
         up, down = _rate_ratio(self.medium_rate, self.params.tx_rate)
-        if (up, down) != (1, 1):
-            iq = resample_poly(iq, up, down).astype(np.complex64)
+        # ONE fused dispatch for assemble -> gain -> polyphase resample to
+        # the medium rate, all in float32 planes (complex64 never crosses
+        # the jit boundary, signal/iq.py), then ONE fetch.  The previous
+        # host chain (fetch planes, build complex, scale, BLAS-GEMM
+        # resample with materialized strided windows) cost three extra
+        # full passes over every tx sample — the distributed node
+        # producer's dominant cost.
+        chain = _tx_chain_fn(gen, up, down)
+        pl_ = np.asarray(
+            chain(
+                gen.encode_header_batch(hpad),
+                gen.encode_payload_batch(ppad),
+                np.float32(g),
+            )
+        )[:f]
+        iq = np.empty(pl_.shape[:2], np.complex64)
+        iq.real = pl_[..., 0]
+        iq.imag = pl_[..., 1]
         if self.log_sink is not None:
             for k in range(f):
                 self.log_sink.log_phy_tx(
@@ -623,8 +675,15 @@ class Radio:
         self._push_event(CEEvent.UHD_UNDERRUN, t)
 
     def drain_events(self) -> list[CEMetrics]:
-        ev, self._events = self._events, []
-        return ev
+        # popleft until empty (no swap): an event appended concurrently by
+        # the tx producer is either drained now or survives for next time —
+        # never lost to a stale-list race
+        ev: list[CEMetrics] = []
+        while True:
+            try:
+                ev.append(self._events.popleft())
+            except IndexError:
+                return ev
 
 
 def _print_metrics(m: CEMetrics) -> None:

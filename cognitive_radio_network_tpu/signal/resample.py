@@ -17,7 +17,7 @@ import numpy as np
 
 from cognitive_radio_network_tpu.signal import filters
 
-__all__ = ["resample_poly", "halfband_interp"]
+__all__ = ["resample_poly", "resample_poly_jnp", "halfband_interp"]
 
 
 @functools.lru_cache(maxsize=64)
@@ -125,6 +125,41 @@ def _poly_gemm_mat(up: int, down: int, delay: int, tpp: int):
         t0 = int(c[j]) + tpp - base
         mat[t0 - np.arange(tpp), j] = phases[p[j]]
     return mat, base, w_width
+
+
+def resample_poly_jnp(x, up: int, down: int):
+    """In-graph (jnp) :func:`resample_poly` for batched float planes.
+
+    Same polyphase math and tap matrix as the host version (bit-comparable
+    up to f32 FMA ordering), expressed as one gather + one matmul so it can
+    live INSIDE a jitted tx chain: assemble -> gain -> resample fuses into
+    a single dispatch with no host round trips between stages (the
+    distributed node runtime's tx producer path).  ``x`` is (B, N) float;
+    ``up``/``down`` must be static under jit."""
+    g = math.gcd(up, down)
+    up, down = up // g, down // g
+    if up == 1 and down == 1:
+        return x
+    taps = _resample_taps(up, down).astype(np.float32)
+    n = x.shape[-1]
+    want = -(-n * up // down)
+    delay = (len(taps) - 1) // 2
+    tpp = -(-len(taps) // up)
+    W_mat, base, w_width = _poly_gemm_mat(up, down, delay, tpp)
+    kk = -(-want // up)
+    need = (kk - 1) * down + base + w_width
+    pad_r = max(need - (n + tpp), 0) + down
+    xp = jnp.pad(x, ((0, 0), (tpp, pad_r)))
+    idx = (
+        np.arange(kk, dtype=np.int32)[:, None] * down
+        + base
+        + np.arange(w_width, dtype=np.int32)[None, :]
+    )
+    y = jnp.take(xp, jnp.asarray(idx.reshape(-1)), axis=-1).reshape(
+        x.shape[0], kk, w_width
+    )
+    out = (y @ jnp.asarray(W_mat)).reshape(x.shape[0], kk * up)[:, :want]
+    return out
 
 
 def halfband_interp(x):

@@ -119,6 +119,13 @@ int crn_tcp_connect(const char *host, uint16_t port, int timeout_ms);
 /* Send one framed message: [u32 len][u8 type][payload].  0 / -1. */
 int crn_msg_send(int fd, uint8_t type, const void *payload, uint32_t len);
 
+/* Send one framed message whose payload is the concatenation a||b, gathered
+ * with writev so neither part is copied on the sending side (the medium
+ * block path ships ~0.5 MB numpy buffers: a is the small step header, b the
+ * raw sample buffer).  0 / -1. */
+int crn_msg_send2(int fd, uint8_t type, const void *a, uint32_t na,
+                  const void *b, uint32_t nb);
+
 /* Receive one framed message.  On success returns payload length and sets
  * *type.  Returns -2 on timeout (no message started), -3 if the peer
  * closed cleanly, -4 if payload exceeds cap, -1 on error. */

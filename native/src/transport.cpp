@@ -22,6 +22,7 @@
 #include <netinet/tcp.h>
 #include <poll.h>
 #include <sys/socket.h>
+#include <sys/uio.h>
 #include <unistd.h>
 
 namespace {
@@ -151,6 +152,51 @@ int crn_msg_send(int fd, uint8_t type, const void *payload, uint32_t len) {
                     static_cast<uint8_t>(len >> 24), type};
   if (write_all(fd, hdr, 5) != 0) return -1;
   if (len && write_all(fd, payload, len) != 0) return -1;
+  return 0;
+}
+
+int crn_msg_send2(int fd, uint8_t type, const void *a, uint32_t na,
+                  const void *b, uint32_t nb) {
+  uint32_t len = na + nb;
+  uint8_t hdr[5] = {static_cast<uint8_t>(len), static_cast<uint8_t>(len >> 8),
+                    static_cast<uint8_t>(len >> 16),
+                    static_cast<uint8_t>(len >> 24), type};
+  struct iovec iov[3] = {{hdr, 5},
+                         {const_cast<void *>(a), na},
+                         {const_cast<void *>(b), nb}};
+  struct msghdr msg = {};
+  int idx = 0;
+  uint64_t off = 0;  // bytes already sent within iov[idx]
+  while (idx < 3) {
+    if (iov[idx].iov_len == off) {  // segment done (or empty)
+      ++idx;
+      off = 0;
+      continue;
+    }
+    struct iovec cur[3];
+    int n = 0;
+    cur[n].iov_base = static_cast<uint8_t *>(iov[idx].iov_base) + off;
+    cur[n].iov_len = iov[idx].iov_len - off;
+    ++n;
+    for (int j = idx + 1; j < 3; ++j)
+      if (iov[j].iov_len) cur[n++] = iov[j];
+    msg.msg_iov = cur;
+    msg.msg_iovlen = n;
+    ssize_t w = ::sendmsg(fd, &msg, MSG_NOSIGNAL);
+    if (w <= 0) return -1;
+    uint64_t adv = static_cast<uint64_t>(w);
+    while (adv && idx < 3) {
+      uint64_t left = iov[idx].iov_len - off;
+      if (adv < left) {
+        off += adv;
+        adv = 0;
+      } else {
+        adv -= left;
+        ++idx;
+        off = 0;
+      }
+    }
+  }
   return 0;
 }
 

@@ -68,17 +68,21 @@ def mlp_reference(features: np.ndarray) -> np.ndarray:
     """1-indexed double-precision forward pass. features = [NF, CH1, CH2, CH3]."""
     fb = np.concatenate([[0.0], features])  # Features_Buffer[0] unused
     sigmoid_ha = np.zeros(6)
-    for j in range(1, 6):
-        s = WEIGHT_IH[0][j]
-        for i in range(1, 5):
-            s += fb[i] * WEIGHT_IH[i][j]
-        sigmoid_ha[j] = 1.0 / (1.0 + np.exp(-s))
-    out = np.zeros(4)
-    for k in range(1, 4):
-        s = WEIGHT_HO[0][k]
+    # exp(-s) may overflow to inf for strongly negative activations; the
+    # C++ reference's expf does the same and 1/(1+inf) == 0 is the right
+    # saturated sigmoid either way — silence the benign warning.
+    with np.errstate(over="ignore"):
         for j in range(1, 6):
-            s += sigmoid_ha[j] * WEIGHT_HO[j][k]
-        out[k] = 1.0 / (1.0 + np.exp(-s))
+            s = WEIGHT_IH[0][j]
+            for i in range(1, 5):
+                s += fb[i] * WEIGHT_IH[i][j]
+            sigmoid_ha[j] = 1.0 / (1.0 + np.exp(-s))
+        out = np.zeros(4)
+        for k in range(1, 4):
+            s = WEIGHT_HO[0][k]
+            for j in range(1, 6):
+                s += sigmoid_ha[j] * WEIGHT_HO[j][k]
+            out[k] = 1.0 / (1.0 + np.exp(-s))
     return out[1:]
 
 

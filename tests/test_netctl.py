@@ -120,6 +120,42 @@ class TestTransportInterop:
         cli.close()
         PyMsgTransport.close_server(srv)
 
+    @pytest.mark.parametrize("side", ["python", "native"])
+    def test_send2_scatter_gather_matches_pack(self, side, rng):
+        """send2 (zero-copy scatter-gather of a numpy block) produces the
+        exact bytes _pack_block would — both transports, large payload so
+        the native writev path and the Python sendmsg path both engage."""
+        if side == "native" and not native.available():
+            pytest.skip("native lib unavailable")
+        tcls = native.MsgTransport if side == "native" else PyMsgTransport
+        port = 47204 if side == "python" else 47205
+        srv = PyMsgTransport.listen(port)
+        got = {}
+
+        def server():
+            conn = PyMsgTransport.accept(srv, 5000)
+            got["msg"] = conn.recv(5000)
+            conn.close()
+
+        t = threading.Thread(target=server)
+        t.start()
+        cli = tcls.connect("127.0.0.1", port, 5000)
+        block = (
+            rng.standard_normal(65536) + 1j * rng.standard_normal(65536)
+        ).astype(np.complex64)
+        import struct as _struct
+
+        cli.send2(Msg.TX_BLOCK, _struct.pack("<I", 11), block)
+        t.join(10)
+        typ, payload = got["msg"]
+        assert typ == Msg.TX_BLOCK
+        assert payload == _pack_block(11, block)
+        step, out = _unpack_block(payload)
+        assert step == 11
+        np.testing.assert_array_equal(out, block)
+        cli.close()
+        PyMsgTransport.close_server(srv)
+
     def test_python_python_roundtrip(self):
         srv = PyMsgTransport.listen(47203)
         got = {}
@@ -155,6 +191,20 @@ class TestDistributedScenario:
         inproc = ScenarioRuntime(cfg).run()
         dist, ctl = self._run("python", 47310)
         # same seeded medium + lockstep stepping -> identical traffic totals
+        assert dist.bytes_sent == inproc.bytes_sent
+        assert dist.frames_received == inproc.frames_received
+        assert dist.valid_frames == inproc.valid_frames
+        assert sum(dist.valid_frames) > 0, "no frames crossed the medium"
+
+    def test_serial_mode_matches_inprocess(self):
+        """net_pipeline=false restores the strictly serial lockstep loop —
+        still bit-identical to the in-process runtime (the pipelined
+        default is covered by test_distributed_run_matches_inprocess)."""
+        cfg = _two_node_scenario()
+        cfg.net_pipeline = False
+        inproc = ScenarioRuntime(cfg).run()
+        ctl = NetController(cfg, port=47316, transport="python", start_pad_s=0.1)
+        dist = ctl.run()
         assert dist.bytes_sent == inproc.bytes_sent
         assert dist.frames_received == inproc.frames_received
         assert dist.valid_frames == inproc.valid_frames

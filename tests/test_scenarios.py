@@ -219,7 +219,7 @@ class TestTrainedWeightsDeployment:
             return float(np.mean(dec == truth))
 
         ref_w = reference_weights()
-        for power in (0.05, 5e-4, 2e-4, 1e-4):
+        for power in (0.05, 5e-3, 5e-4, 2e-4, 1e-4):
             powers = occupancy_to_powers(trace, 3, power=power)
             iq = syn(
                 jax.random.key(8), powers, cfg.samples_per_cycle, as_planes=True
