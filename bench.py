@@ -181,9 +181,13 @@ def main() -> None:
         _ = np.asarray(chain(iq_lat, params))
         return time.perf_counter() - t0
 
+    # 40 slope samples; a slope sample is a DIFFERENCE of two host timings,
+    # so one bad host-timing draw can push it negative — clamp at 0 and
+    # report the distribution as per-block DEVICE time (steady-state
+    # back-to-back scan iterations), not dispatch latency (ADVICE r3).
     lat = []
-    for _ in range(15):
-        lat.append((_timed(chain2) - _timed(chain1)) / (b2 - b1))
+    for _ in range(40):
+        lat.append(max((_timed(chain2) - _timed(chain1)) / (b2 - b1), 0.0))
     p50_block_ms = float(np.percentile(lat, 50) * 1e3)
     p99_block_ms = float(np.percentile(lat, 99) * 1e3)
 
@@ -364,6 +368,7 @@ def main() -> None:
                     "pipelined_latency_ms_per_cycle": round(amortized_block_ms, 6),
                     "p50_block_latency_ms": round(p50_block_ms, 3),
                     "p99_block_latency_ms": round(p99_block_ms, 3),
+                    "latency_method": "scan-slope per-block device time",
                     "latency_block_cycles": lat_cycles,
                     "cycles_per_dispatch": cycles,
                     "device": str(jax.devices()[0]),

@@ -216,6 +216,8 @@ class ShardedStreamReceiver:
         self._scan_cache: dict[int, callable] = {}
         self._residual = np.zeros(0, np.complex64)
         self._residual_offset = 0  # absolute sample index of residual[0]
+        # same contract as StreamReceiver.pending_frame
+        self.pending_frame = False
 
     def _sync_for(self, payload_len, mod, f0, f1, check) -> OFDMFrameSync:
         import dataclasses
@@ -289,6 +291,17 @@ class ShardedStreamReceiver:
         :meth:`StreamReceiver.skip`)."""
         self._residual_offset += len(self._residual) + int(n)
         self._residual = np.zeros(0, np.complex64)
+        self.pending_frame = False
+
+    def carry(self, iq) -> None:
+        """Advance past a squelched block keeping an eighth-block + prefix
+        residual tail (same contract as :meth:`StreamReceiver.carry`)."""
+        re_np, im_np = _to_np_planes(iq)
+        block = (re_np + 1j * im_np).astype(np.complex64)
+        buf = np.concatenate([self._residual, block])
+        keep = min(self.prefix_len + len(block) // 8, len(buf))
+        self._residual_offset += len(buf) - keep
+        self._residual = buf[len(buf) - keep :]
 
     def receive(self, iq, threshold: float = 0.2):
         """Append a block of IQ and extract every decodable frame.
@@ -331,12 +344,14 @@ class ShardedStreamReceiver:
         # (identical discipline to StreamReceiver.process)
         accepted: dict[tuple, list[tuple[int, int]]] = {}
         consumed_end = 0
+        incomplete = False
         for i in np.argsort(bests, kind="stable"):
             off, pk = int(bests[i]), float(peaks[i])
             if pk < threshold or off < consumed_end:
                 continue
             if off + self.prefix_len > n:
                 keep_from = min(keep_from, off)
+                incomplete = True
                 break
             if not hdr_ok[i]:
                 continue
@@ -347,9 +362,11 @@ class ShardedStreamReceiver:
             flen = sync.gen.frame_len
             if off + flen > n:
                 keep_from = min(keep_from, off)
+                incomplete = True
                 break  # frame incomplete; resume next block
             accepted.setdefault(parsed, []).append((off, int(i)))
             consumed_end = off + flen
+        self.pending_frame = incomplete
 
         # dispatch 2..: one batched gather+demod+decode per payload config
         frames = []

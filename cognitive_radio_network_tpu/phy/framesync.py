@@ -349,6 +349,17 @@ def _to_np_planes(iq) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(re, np.float32), np.asarray(im, np.float32)
 
 
+def _bucket_len(n: int, floor: int = 1) -> int:
+    """Shape bucket for jit compilation caching: the next multiple of an
+    eighth of the enclosing power of two (so at most 8 distinct compiled
+    shapes per octave, with <= 12.5% padding — a full power-of-two round-up
+    wasted up to ~2x scan compute on steady streaming block sizes)."""
+    n = max(n, floor, 1)
+    p = 1 << max(int(np.ceil(np.log2(n))), 0)
+    q = max(p // 8, 1)
+    return -(-n // q) * q
+
+
 def _detect(gen: OFDMFrameGen, iq):
     """Shape-bucketed detection wrapper: pads to the next power of two so the
     jitted core compiles once per bucket, not once per block length.
@@ -620,11 +631,14 @@ class StreamReceiver:
         self.layout = gen_for(cfg, 1)
         m, cp = cfg.num_subcarriers, cfg.cp_len
         self.prefix_len = 2 * m + (m + cp) + self.layout.n_header_syms * (m + cp)
-        self._scan = _scan_jit_for(cfg, max_frames_per_block)
         self._syncs: dict[tuple, OFDMFrameSync] = {}
         self.max_frames_per_block = max_frames_per_block
         self._residual = np.zeros(0, np.complex64)
         self._residual_offset = 0  # absolute sample index of residual[0]
+        # True while the residual holds a detected-but-incomplete frame
+        # (its tail is still arriving) — the squelch must not carry/skip
+        # past such a block (runtime/radio.py in-band gate)
+        self.pending_frame = False
 
     def _sync_for(self, payload_len, mod, f0, f1, check) -> OFDMFrameSync:
         key = (payload_len, mod, f0, f1, check)
@@ -642,6 +656,21 @@ class StreamReceiver:
         and absolute offsets stay consistent across the gap."""
         self._residual_offset += len(self._residual) + int(n)
         self._residual = np.zeros(0, np.complex64)
+        self.pending_frame = False
+
+    def carry(self, iq) -> None:
+        """Advance past a squelched block WITHOUT scanning it, keeping an
+        eighth-block + prefix tail in the residual (the radio's in-band
+        squelch): a frame whose head starts near the end of a cold block —
+        by the squelch power bound, a head small enough to read cold is
+        contained in that tail — still decodes whole when the next hot
+        block arrives."""
+        re_np, im_np = _to_np_planes(iq)
+        block = (re_np + 1j * im_np).astype(np.complex64)
+        buf = np.concatenate([self._residual, block])
+        keep = min(self.prefix_len + len(block) // 8, len(buf))
+        self._residual_offset += len(buf) - keep
+        self._residual = buf[len(buf) - keep :]
 
     def process(self, iq, threshold: float = 0.2):
         """Append a block and extract every decodable frame.
@@ -661,22 +690,27 @@ class StreamReceiver:
             self._residual = buf
             return []
 
-        # dispatch 1: scan the whole buffer for up to K frame candidates
-        bucket = 1 << max(
-            int(np.ceil(np.log2(max(n, 4 * self.cfg.num_subcarriers)))), 0
-        )
+        # dispatch 1: scan the whole buffer for up to K frame candidates.
+        # K is bounded by physics: decodable frames are at least a header
+        # prefix apart, so small blocks need far fewer candidates than the
+        # configured max (the refinement pass is O(K) — the scan's main
+        # cost at radio block sizes).
+        bucket = _bucket_len(n, 4 * self.cfg.num_subcarriers)
+        keff = min(self.max_frames_per_block, max(4, -(-n // self.prefix_len)))
         rr = np.zeros(bucket, np.float32)
         ri = np.zeros(bucket, np.float32)
         rr[:n] = buf.real
         ri[:n] = buf.imag
         rr_d, ri_d = jnp.asarray(rr), jnp.asarray(ri)
         bests, peaks, cfos, headers, phys, hdr_ok = (
-            np.asarray(x) for x in self._scan(rr_d, ri_d, jnp.int32(n))
+            np.asarray(x)
+            for x in _scan_jit_for(self.cfg, keff)(rr_d, ri_d, jnp.int32(n))
         )
 
         # host: order candidates by position, resolve configs, group
         accepted: dict[tuple, list[tuple[int, int]]] = {}  # sync key -> [(off, cand)]
         consumed_end = 0
+        incomplete = False
         for i in np.argsort(bests, kind="stable"):
             off, pk = int(bests[i]), float(peaks[i])
             if pk < threshold or off < consumed_end:
@@ -684,6 +718,7 @@ class StreamReceiver:
             if off + self.prefix_len > n:
                 # header region incomplete; wait for more samples
                 keep_from = min(keep_from, off)
+                incomplete = True
                 break
             if not hdr_ok[i]:
                 continue  # false peak (or corrupted header): skip
@@ -694,9 +729,11 @@ class StreamReceiver:
             flen = sync.gen.frame_len
             if off + flen > n:
                 keep_from = min(keep_from, off)
+                incomplete = True
                 break  # frame incomplete; resume next block
             accepted.setdefault(parsed, []).append((off, int(i)))
             consumed_end = off + flen
+        self.pending_frame = incomplete
 
         # dispatch 2..: one fused batched demod+decode per payload config,
         # padded to K so each sync compiles exactly once per bucket size

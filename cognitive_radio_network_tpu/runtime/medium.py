@@ -54,14 +54,52 @@ class Medium:
         blocks; ``None`` where a receiver hears no active transmitter
         (noise is receiver-referred, see module docstring).
 
-        One BLAS matmul for the whole N-to-N mix — at the 48-node cap
-        (include/crts.hpp:189) the per-receiver broadcast loop this replaces
-        allocated N^2 temporaries per block."""
+        Fast path: when every nonzero gain equals one constant g (the
+        default all-ones-off-diagonal matrix, and each cell of a celled
+        matrix), receiver i hears g*(total - own_i) — one O(N*block) sum
+        instead of the O(N^2*block) mix GEMM, which dominated controller
+        cost at 8+ nodes.  The general matrix falls back to one BLAS
+        matmul for the whole N-to-N mix."""
         active = [j for j, c in enumerate(contributions) if c is not None]
         if not active:
             return [None] * self.num_nodes
-        stack = np.stack([contributions[j] for j in active])
-        g = self.gains.T[:, active].astype(np.complex64)  # (rx, n_active)
+        g = self.gains.T[:, active].astype(np.float32)  # (rx, n_active)
         heard = g.any(axis=1)
-        sig = g @ stack  # (rx, block)
+        uni = self._uniform_gain()
+        if uni is not None and len(active) > 1:
+            total = contributions[active[0]].astype(np.complex64).copy()
+            for j in active[1:]:
+                total += contributions[j]
+            if uni != 1.0:
+                total *= np.float32(uni)
+            out: list[np.ndarray | None] = []
+            for i in range(self.num_nodes):
+                if not heard[i]:
+                    out.append(None)
+                elif contributions[i] is None:
+                    out.append(total)
+                else:
+                    own = contributions[i].astype(np.complex64)
+                    out.append(total - (np.float32(uni) * own if uni != 1.0 else own))
+            return out
+        gc = g.astype(np.complex64)
+        stack = np.stack([contributions[j] for j in active])
+        sig = gc @ stack  # (rx, block)
         return [sig[i] if heard[i] else None for i in range(self.num_nodes)]
+
+    def _uniform_gain(self) -> float | None:
+        """The single off-diagonal gain value if the matrix is
+        ``g * (ones - I)`` (cached against the gains array identity)."""
+        cached = getattr(self, "_uni_cache", None)
+        if cached is not None and cached[0] is self.gains:
+            return cached[1]
+        gg = self.gains
+        off = ~np.eye(self.num_nodes, dtype=bool)
+        vals = gg[off]
+        uni: float | None = None
+        if self.num_nodes > 1 and np.all(vals == vals.flat[0]) and np.all(
+            np.diag(gg) == 0.0
+        ):
+            uni = float(vals.flat[0]) if vals.flat[0] != 0.0 else None
+        self._uni_cache = (gg, uni)
+        return uni

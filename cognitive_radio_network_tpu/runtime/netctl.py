@@ -659,22 +659,28 @@ def _run_node_client_inner(
         # thread structure (tx worker / CE thread,
         # src/extensible_cognitive_radio.cpp:1643-1758 / :1761-1808):
         #
-        #   send TX N  ->  process RX N-1        (overlaps the controller's
-        #                  while a worker thread   gather+propagate+send for
-        #                  produces TX N+1         step N)
-        #              ->  recv RX N
+        #   send TX N  ->  process RX N-1   ->  submit produce TX N+1
+        #                                   ->  recv RX N (the producer
+        #                                       overlaps this wait, i.e. the
+        #                                       controller's gather +
+        #                                       propagate + send for step N)
         #
         # so per step the wall cost is max(node work, controller work)
-        # instead of their sum.  Thread safety is the reference's
-        # discipline: param writes are single atomic field stores, tx/ctrl
-        # queues and the CE event queue are deques (atomic append/popleft),
-        # and the tx producer touches only tx-side state while the main
-        # thread processes rx.  Semantics vs the serial loop: a CE/control
-        # tx-param change reaches the air up to two blocks (~2*block_dt)
-        # later, and rx-driven CE decisions act one block later — the same
-        # latencies a physical radio has between a CE retune and the first
-        # frame transmitted with it.  net_pipeline=false restores the
-        # bit-identical serial loop.
+        # instead of their sum.  Consistency discipline: the reference
+        # stages CE parameter updates in tx_params_updated and copies the
+        # whole struct under tx_params_mutex between frames
+        # (update_tx_params, src/extensible_cognitive_radio.cpp:829-881),
+        # so its tx worker never sees a torn multi-param config.  The
+        # equivalent here is SERIALIZATION, not locking: produce() is
+        # submitted only AFTER process_rx (where CE engines run) and is
+        # joined before any CRTS_MSG_CONTROL is applied (see the recv
+        # loop), so every frame is assembled from a settled parameter set
+        # and runs are bit-reproducible.  Semantics vs the serial loop: a
+        # CE/control tx-param change reaches the air up to two blocks
+        # (~2*block_dt) later, and rx-driven CE decisions act one block
+        # later — the same latencies a physical radio has between a CE
+        # retune and the first frame transmitted with it.
+        # net_pipeline=false restores the bit-identical serial loop.
         executor = None
         if getattr(cfg, "net_pipeline", True):
             from concurrent.futures import ThreadPoolExecutor
@@ -701,16 +707,19 @@ def _run_node_client_inner(
                 contribution = pending if pending is not None else produce(t)
                 pending = None
                 _send_block(conn, Msg.TX_BLOCK, step, contribution)
+                if prev is not None:
+                    # overlaps the controller's work on THIS step
+                    process_rx(*prev)
+                    prev = None
+                # speculative produce for step N+1, submitted only after
+                # process_rx so the producer sees a settled post-CE state —
+                # it overlaps the recv wait below (the controller's gather +
+                # propagate + send), which is the long pole it must hide
                 fut = (
                     executor.submit(produce, t + mcfg.block_dt)
                     if executor is not None and step + 1 < num_steps
                     else None
                 )
-                if prev is not None:
-                    # overlaps the controller's work on THIS step (and the
-                    # producer thread's tx assembly for the next one)
-                    process_rx(*prev)
-                    prev = None
                 while True:
                     msg = conn.recv(int(cfg.net_step_timeout_s * 1e3))
                     if msg is None:
@@ -720,6 +729,15 @@ def _run_node_client_inner(
                         _, block = _unpack_block(payload)
                         break
                     if typ == Msg.CONTROL:
+                        # join the speculative produce FIRST: a control
+                        # write racing the producer could yield a torn
+                        # frame (resampled at the old tx_rate, mixed at
+                        # the new tx_freq); joined-then-applied, the
+                        # control deterministically reaches the air one
+                        # block later
+                        if fut is not None:
+                            pending = fut.result()
+                            fut = None
                         c = json.loads(payload)
                         apply_node_control(
                             node, CrtsParam(c["param"]), c["value"], on_fb_en=on_fb_en

@@ -26,10 +26,25 @@ from cognitive_radio_network_tpu.runtime.engine import (
     CEMetrics,
     create_engine,
 )
-from cognitive_radio_network_tpu.runtime.radio import Radio
+from cognitive_radio_network_tpu.runtime.radio import Radio, _mix
 from cognitive_radio_network_tpu.runtime.traffic import TrafficConfig, TrafficSource
 
 __all__ = ["RadioNode", "InterfererNode"]
+
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _block_arange(n: int) -> np.ndarray:
+    return np.arange(n, dtype=np.int64)
+
+
+@functools.lru_cache(maxsize=64)
+def _synth_jit(cfg: InterfererConfig, n: int):
+    """One jitted dispatch per waveform block (the eager per-op path cost
+    ~10 CPU dispatches per block — the interferer dominated 8-node scenario
+    profiles)."""
+    return jax.jit(lambda key: synthesize_interference(key, cfg, n))
 
 
 class RadioNode:
@@ -206,17 +221,27 @@ class InterfererNode:
             self._dwell_t = t0
             if self.log_sink is not None:
                 self.log_sink.log_int_tx(self.node_id, t0, self.tx_freq)
-        # duty cycle gate over the block
-        period = max(c.period_s, 1e-9)
-        idx = (self._cursor + np.arange(n)) / self.medium_rate
-        gate = ((idx % period) < c.duty_cycle * period).astype(np.float32)
-        if not gate.any():
-            self._cursor += n
-            return None
+        # duty-cycle gate over the block, in integer sample arithmetic
+        # (src/interferer.cpp:394-420 gates on timers; one block crosses at
+        # most a few on/off boundaries).  duty >= 1 skips the gate outright.
+        gate = None
+        if c.duty_cycle < 1.0:
+            period = max(int(round(max(c.period_s, 1e-9) * self.medium_rate)), 1)
+            on = int(round(c.duty_cycle * period))
+            phase = (self._cursor + _block_arange(n)) % period
+            gate = phase < on
+            if not gate.any():
+                self._cursor += n
+                return None
+            if gate.all():
+                gate = None
         self._key, sub = jax.random.split(self._key)
-        wf = np.asarray(synthesize_interference(sub, c, n))
+        wf = np.asarray(_synth_jit(c, n)(sub))
+        if gate is not None:
+            wf = wf * gate
+        # phase-continuous mix to the tx offset via the cached-ramp mixer
+        # (same discipline as Radio tx, runtime/radio.py::_mix)
         off = (self.tx_freq - self.medium_center) / self.medium_rate
-        t_idx = self._cursor + np.arange(n)
-        out = (wf * gate * np.exp(2j * np.pi * off * t_idx)).astype(np.complex64)
+        out = _mix(np.ascontiguousarray(wf, np.complex64), off, self._cursor)
         self._cursor += n
-        return out
+        return np.asarray(out, np.complex64)

@@ -58,38 +58,41 @@ def _mix_ramp(off: float, n: int) -> np.ndarray:
     return np.exp(2j * np.pi * off * np.arange(n)).astype(np.complex64)
 
 
-_TX_CHAIN_CACHE: dict[tuple, Callable] = {}
+@functools.lru_cache(maxsize=256)
+def _tx_chain_fn_for(
+    cfg: OFDMFrameConfig, payload_len: int, up: int, down: int
+) -> Callable:
+    """Jitted assemble->gain->resample chain for one (frame config,
+    payload length, rate ratio).  Keyed on the same (cfg, payload_len)
+    tuple as ``gen_for``'s own cache — NOT on generator identity — so
+    identically-configured radios share one compiled chain regardless of
+    generator object lifetime, and the cache is bounded (same discipline
+    as framesync's module-level jit caches)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cognitive_radio_network_tpu.phy.framegen import gen_for
+
+    inner = gen_for(cfg, payload_len)._assemble_planes_jit  # nested jit inlines
+
+    @jax.jit
+    def fn(hdr_bits, pay_bits, gain):
+        pl = inner(hdr_bits, pay_bits) * gain  # (B, L, 2)
+        if (up, down) != (1, 1):
+            pl = jnp.stack(
+                [
+                    resample_poly_jnp(pl[..., 0], up, down),
+                    resample_poly_jnp(pl[..., 1], up, down),
+                ],
+                axis=-1,
+            )
+        return pl
+
+    return fn
 
 
 def _tx_chain_fn(gen: OFDMFrameGen, up: int, down: int) -> Callable:
-    """Jitted assemble->gain->resample chain for one (generator, rate
-    ratio).  Keyed on the generator identity: ``gen_for`` already caches
-    generators process-wide per config, so identically-configured radios
-    share one compiled chain (same discipline as framesync's module-level
-    jit caches)."""
-    key = (id(gen), up, down)
-    fn = _TX_CHAIN_CACHE.get(key)
-    if fn is None:
-        import jax
-        import jax.numpy as jnp
-
-        inner = gen._assemble_planes_jit  # nested jit inlines
-
-        @jax.jit
-        def fn(hdr_bits, pay_bits, gain):
-            pl = inner(hdr_bits, pay_bits) * gain  # (B, L, 2)
-            if (up, down) != (1, 1):
-                pl = jnp.stack(
-                    [
-                        resample_poly_jnp(pl[..., 0], up, down),
-                        resample_poly_jnp(pl[..., 1], up, down),
-                    ],
-                    axis=-1,
-                )
-            return pl
-
-        _TX_CHAIN_CACHE[key] = fn
-    return fn
+    return _tx_chain_fn_for(gen.cfg, gen.payload_len, up, down)
 
 
 def _mix(block: np.ndarray, off: float, cursor: int) -> np.ndarray:
@@ -184,12 +187,30 @@ class Radio:
         self.rx_packet_sink: deque[tuple[int, np.ndarray]] = deque()  # the "TUN"
         self.num_tx_frames = 0
         # rx squelch (liquid agc/squelch analog): skip frame detection on
-        # blocks at the tracked noise floor; ratio is linear POWER margin
+        # blocks at the tracked noise floor; ratio is linear POWER margin.
+        # Two stages: a raw-medium gate (cheap, catches an empty medium)
+        # and an IN-BAND gate on the decimated baseband (catches the busy-
+        # medium case where every transmitter is out of this rx's band —
+        # the common case in multi-pair scenarios, where the raw gate
+        # never fires because SOMEONE is always transmitting)
         self.rx_squelch_enabled = True
         self.rx_squelch_ratio = 1.35  # ~1.3 dB above the floor
+        # in-band gate: decode-referenced — squelch blocks more than
+        # `ib_margin` (power ratio) below the learned level of blocks that
+        # actually decoded frames.  Liquid's squelch is likewise an absolute
+        # threshold referenced to AGC signal levels, not a noise-floor
+        # ratio: adjacent-channel OFDM sidelobes sit far above thermal but
+        # far below frames, and only a signal-referenced threshold splits
+        # them.  Probing re-opens the gate: every `ib_probe` consecutive
+        # squelched blocks one is processed anyway, and the reference
+        # decays, so a link whose partner turns its gain down is re-acquired.
+        self.rx_squelch_ib_margin = 0.1  # 10 dB below decoded-frame level
+        self.rx_squelch_ib_probe = 16
         self._rx_noise_floor: float | None = None
         self._rx_blocks_seen = 0
         self._rx_hot_prev = True
+        self._ib_signal_ref: float | None = None
+        self._ib_squelch_run = 0
         # receiver-referred thermal noise (see runtime/medium.py): set from
         # MediumConfig.noise_power by build_node; 0 = noiseless front end
         self.rx_noise_power = 0.0
@@ -520,6 +541,9 @@ class Radio:
         self._rx = StreamReceiver(self._rx_cfg())
         self._rx_dirty = False
         self._rx_resid_sens = np.zeros(0, np.complex64)
+        # a retune changes what "in band" means: relearn the reference
+        self._ib_signal_ref = None
+        self._ib_squelch_run = 0
 
     def _noise_slice(self, n: int) -> np.ndarray:
         """Receiver thermal noise: ``n`` complex samples at rx_noise_power.
@@ -633,6 +657,30 @@ class Radio:
 
         if not self.rx_running:
             return
+
+        # in-band squelch (decode-referenced, see __init__): skip the frame
+        # scan on blocks whose decimated-baseband power sits > ib_margin
+        # below the learned decoded-frame level.  A squelched block is
+        # CARRIED, not dropped: its prefix-sized tail stays in the
+        # receiver's residual, so a frame starting in the last samples of a
+        # cold block still decodes whole in the next (hot) block.
+        ibp = float(np.vdot(base, base).real) / max(len(base), 1) + 1e-30
+        if self.rx_squelch_enabled and self._ib_signal_ref is not None:
+            ib_hot = ibp >= self._ib_signal_ref * self.rx_squelch_ib_margin
+            probe = (
+                not ib_hot
+                and self._ib_squelch_run + 1 >= self.rx_squelch_ib_probe
+            )
+            # a cold block is squelched unless the receiver holds a
+            # detected-but-incomplete frame (its tail may be arriving in
+            # this very block, power notwithstanding) or it is a probe
+            if not ib_hot and not self._rx.pending_frame and not probe:
+                self._ib_squelch_run += 1
+                self._ib_signal_ref *= 0.998  # re-acquire a quieter link
+                self._rx.carry(base)
+                return
+            self._ib_squelch_run = 0
+        decoded_any = False
         for f in self._rx.process(base):
             s = f["stats"]
             hdr = f["header"]
@@ -661,6 +709,12 @@ class Radio:
             if frame_type == FrameType.DATA and s.payload_valid:
                 # the TUN write (src/extensible_cognitive_radio.cpp:1441-1450)
                 self.rx_packet_sink.append((frame_n, f["payload"]))
+            decoded_any = decoded_any or s.header_valid
+        if decoded_any:
+            # learn the in-band level of frame-bearing blocks (EWMA) — the
+            # squelch reference; see __init__
+            r = self._ib_signal_ref
+            self._ib_signal_ref = ibp if r is None else 0.9 * r + 0.1 * ibp
 
     def _push_event(self, event: CEEvent, t: float = 0.0) -> None:
         self._events.append(CEMetrics(ce_event=event, time_s=t))

@@ -23,10 +23,30 @@ __all__ = ["resample_poly", "resample_poly_jnp", "halfband_interp"]
 @functools.lru_cache(maxsize=64)
 def _resample_taps(up: int, down: int, taps_per_phase: int = 12) -> np.ndarray:
     cutoff = 0.5 / max(up, down)
-    n = up * taps_per_phase
+    # length scales with max(up, down), NOT up: a decimator (up=1) needs its
+    # anti-alias transition band to fit inside 1/down of the input rate, or
+    # out-of-band signals fold into the output band (measured: a 13-tap
+    # filter at down=16 left adjacent-channel transmitters only ~15 dB down
+    # after decimation — every rx baseband carried aliased neighbors)
+    n = max(up, down) * taps_per_phase
     n += (n % 2) == 0  # odd length, symmetric
     taps = filters.kaiser_lowpass_taps(n, cutoff, 70.0) * up
     return taps
+
+
+@functools.lru_cache(maxsize=64)
+def _decim_wmat(up: int, down: int, tpp: int) -> np.ndarray:
+    """(tpp, 2*down, 2) interleaved-complex tap matrices for the pure-
+    decimation sgemm fast path (see resample_poly): W[r, 2c, 0] and
+    W[r, 2c+1, 1] both hold reversed-tap row r, column c."""
+    taps = _resample_taps(up, down).astype(np.float32)
+    hpad = np.zeros(tpp * down, np.float32)
+    hpad[: len(taps)] = taps[::-1]
+    hm = hpad.reshape(tpp, down)
+    w = np.zeros((tpp, 2 * down, 2), np.float32)
+    w[:, 0::2, 0] = hm
+    w[:, 1::2, 1] = hm
+    return w
 
 
 def resample_poly(x, up: int, down: int):
@@ -57,6 +77,49 @@ def resample_poly(x, up: int, down: int):
     # Let i = m*down + delay, phase p = i % up, base q0 = i // up:
     #   out[m] = sum_s x[q0 - s] * taps[p + up*s]
     tpp = -(-len(taps) // up)  # taps per phase
+    if up == 1 and down > 1 and xnp.ndim == 1:
+        # Pure decimation fast path: split the anti-alias FIR into `down`
+        # phase branches of ~taps_per_phase taps and sum `down` short
+        # correlations — the windowed-GEMM path below materializes a
+        # (want, T)-sample window copy per block (measured ~1.2 ms per
+        # 65536-sample medium block at down=16; this is ~0.2 ms).
+        #   out[m] = sum_p sum_s taps[p + down*s] * x[down*(m-s) + delay-p]
+        # y[m] = sum_j ht[j] * x[m*down + shift + j], ht = reversed taps,
+        # shift = delay - T + 1.  Pad so every window starts on a multiple
+        # of down, view the interleaved complex64 buffer as contiguous
+        # float32 (rows, 2*down) blocks, and accumulate R = ceil(T/down)
+        # shifted sgemms against (2*down, 2) interleaved tap matrices —
+        # the (kk, 2) f32 result IS the interleaved complex output.  All
+        # operands contiguous; no window copy (measured ~0.25 ms per
+        # 65536-sample block at down=16 vs ~1.2 ms for the window GEMM).
+        kk = want
+        tlen = len(taps)
+        nrows = -(-tlen // down)  # FIR rows per window (NOT tpp = T/up)
+        shift = delay - tlen + 1
+        lpad = down * nrows
+        lpad += (-(shift + lpad)) % down
+        rows_needed = (shift + lpad) // down + kk + nrows + 2
+        rpad = max(rows_needed * down - (lpad + n), 0)
+        xp = np.concatenate(
+            [np.zeros(lpad, xnp.dtype), xnp, np.zeros(rpad, xnp.dtype)]
+        )
+        base = (shift + lpad) // down
+        if xnp.dtype == np.complex64:
+            xf = xp.view(np.float32).reshape(-1, 2 * down)
+            w = _decim_wmat(up, down, nrows)
+            acc = xf[base : base + kk] @ w[0]
+            for r in range(1, nrows):
+                acc += xf[base + r : base + r + kk] @ w[r]
+            return acc.view(np.complex64)[:, 0]
+        b2 = xp.reshape(-1, down)
+        hpad = np.zeros(nrows * down, taps.dtype)
+        hpad[:tlen] = taps[::-1]
+        hmat = hpad.reshape(nrows, down).astype(xnp.dtype, copy=False)
+        out = None
+        for r in range(nrows):
+            acc = b2[base + r : base + r + kk] @ hmat[r]
+            out = acc if out is None else out + acc
+        return out.astype(xnp.dtype, copy=False)
     # One BLAS GEMM instead of a (want, tpp) gather + einsum (the gather
     # materializes 12x the data and c_einsum runs scalar loops — measured
     # 13 ms per 65536-sample medium block, the distributed runtime's
