@@ -27,28 +27,10 @@ from cognitive_radio_network_tpu.signal.mlp import reference_weights
 TARGET_MSPS = 100.0
 
 
-def _wideband_energy_numpy(xr, xi, taps, cfg):
-    """Independent numpy transliteration of the wideband energy math
-    (polyphase depthwise FIR -> M-point DFT -> per-cycle mean power), the
-    on-TPU oracle for the fused Pallas kernel."""
-    m = cfg.num_channels
-    t = xr.size // m
-    vr_in, vi_in = xr.reshape(t, m), xi.reshape(t, m)
-    hf = taps[::-1].astype(np.float64)  # (P, M), flipped like _fir_rows
-    p = hf.shape[0]
-    ext_r = np.concatenate([np.zeros((p - 1, m)), vr_in], axis=0)
-    ext_i = np.concatenate([np.zeros((p - 1, m)), vi_in], axis=0)
-    vr = np.zeros((t, m))
-    vi = np.zeros((t, m))
-    for s in range(p):
-        vr += hf[s] * ext_r[s : s + t]
-        vi += hf[s] * ext_i[s : s + t]
-    ang = -2.0 * np.pi * np.outer(np.arange(m), np.arange(m)) / m
-    wre, wim = np.cos(ang), np.sin(ang)
-    yr = vr @ wre - vi @ wim
-    yi = vr @ wim + vi @ wre
-    power = yr**2 + yi**2
-    return power.reshape(t // cfg.block_len, cfg.block_len, m).mean(axis=1)
+# the on-TPU correctness gates live in tests/tpu_gates.py — shared with
+# `CRN_TPU_TESTS=1 pytest -m tpu`, so hardware correctness is a first-class
+# test target and the bench aborts (instead of shipping numbers) on a
+# lowering bug
 
 
 def main() -> None:
@@ -90,35 +72,9 @@ def main() -> None:
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).parent / "tests"))
-    import golden_reference as gold
+    import tpu_gates
 
-    from cognitive_radio_network_tpu.env import scene as scene_mod
-
-    gc = 16
-    gtrace = jnp.asarray(rng.integers(0, 3, size=gc), jnp.int32)
-    gpow = scene_mod.occupancy_to_powers(gtrace, 3, power=0.05)
-    g_planes = jax.jit(
-        scene_mod.synthesize_scene,
-        static_argnums=(2,),
-        static_argnames=("as_planes",),
-    )(jax.random.key(7), gpow, cfg.samples_per_cycle, as_planes=True)
-    g_np = np.asarray(g_planes).reshape(gc, cfg.averaging, cfg.fft_length, 2)
-    g_out = fn(
-        (
-            jnp.asarray(g_np[..., 0].reshape(-1, cfg.fft_length)),
-            jnp.asarray(g_np[..., 1].reshape(-1, cfg.fft_length)),
-        ),
-        params,
-    )
-    g_out = {k: np.asarray(v) for k, v in g_out.items()}
-    feats_ref, outs_ref, decs_ref = gold.sense_classify_reference(
-        g_np[..., 0] + 1j * g_np[..., 1]
-    )
-    np.testing.assert_allclose(g_out["features"], feats_ref, rtol=5e-3)
-    np.testing.assert_allclose(g_out["outputs"], outs_ref, atol=2e-3)
-    assert np.array_equal(g_out["decision"], decs_ref), (
-        "on-TPU sense decisions diverge from the golden reference"
-    )
+    tpu_gates.gate_fused_sense(rng)
 
     # Timed: device-resident input; enqueue many dispatches and force a full
     # drain with one scalar device->host fetch (block_until_ready alone does
@@ -216,20 +172,11 @@ def main() -> None:
     wxi = jnp.asarray(
         rng.standard_normal(t_chan * wcfg.num_channels, dtype=np.float32)
     )
-    # on-TPU correctness gate: the fused wideband Pallas kernel vs an
-    # independent numpy transliteration of the polyphase FIR + DFT + energy
-    # math, on a small slice (bf16_3x precision -> rtol 2e-3)
-    gt = 4096  # one (2M x tile_q) kernel tile
-    gwr = np.asarray(rng.standard_normal(gt * wcfg.num_channels), np.float32)
-    gwi = np.asarray(rng.standard_normal(gt * wcfg.num_channels), np.float32)
-    g_got = np.asarray(wfn(jnp.asarray(gwr), jnp.asarray(gwi)))
-    np.testing.assert_allclose(
-        g_got,
-        _wideband_energy_numpy(gwr, gwi, np.asarray(wtaps), wcfg),
-        rtol=2e-3,
-        atol=1e-5,
-        err_msg="on-TPU fused wideband energies diverge from the numpy oracle",
-    )
+    # on-TPU correctness gates (shared with pytest -m tpu), including the
+    # cross-shard initial_history path round-3 review flagged as never
+    # having executed on real hardware
+    tpu_gates.gate_fused_wideband(rng)
+    tpu_gates.gate_sharded_wideband_history(rng)
 
     for _ in range(4):
         wout = wfn(wxr, wxi)
@@ -254,35 +201,11 @@ def main() -> None:
         OFDMFrameSync,
     )
 
-    ocfg = OFDMFrameConfig()  # ECR defaults: 32sc/cp16/qam4/crc32/h128
-    opay = 256  # reference packet size (include/crts.hpp:192-194)
-    ogen = OFDMFrameGen(ocfg, opay)
-    osync = OFDMFrameSync(ocfg, opay)
-    F = 256
-    gap = 80
-    ohdr = rng.integers(0, 256, (F, 8)).astype(np.uint8)
-    opays = rng.integers(0, 256, (F, opay)).astype(np.uint8)
-    fr = np.asarray(ogen.assemble(ohdr, opays, as_planes=True))  # (F, L, 2)
-    flen = fr.shape[1]
-    n_link = F * (flen + gap)
-    orr = np.zeros(n_link, np.float32)
-    ori = np.zeros(n_link, np.float32)
-    for i in range(F):
-        s = i * (flen + gap)
-        orr[s : s + flen] = fr[i, :, 0]
-        ori[s : s + flen] = fr[i, :, 1]
-    orr_d, ori_d = jnp.asarray(orr), jnp.asarray(ori)
-    # n_valid must be device-resident OUTSIDE the timing loop: a fresh
-    # jnp.int32 per call is a host->device transfer that fences dispatch
-    # pipelining (~50 ms round trip on tunneled backends, 60x the graph).
-    nvalid_d = jnp.int32(n_link)
-    rxfn = osync.rx_block_fn(k=F)
-    bests, peaks, cfos, oout, ok = rxfn(orr_d, ori_d, nvalid_d)
-    # correctness gate: every frame decoded, payloads intact
-    okh = np.asarray(ok)
-    order = np.argsort(np.asarray(bests), kind="stable")
-    got = np.asarray(oout["payloads"])[order][okh[order]]
-    assert okh.sum() == F and np.array_equal(got, opays), "ofdm link decode failed"
+    # gate + device-resident block come from the shared helper; n_valid is
+    # device-resident OUTSIDE the timing loop (a fresh jnp.int32 per call is
+    # a host->device transfer that fences dispatch pipelining, ~50 ms on
+    # tunneled backends)
+    orr_d, ori_d, nvalid_d, rxfn, F, n_link = tpu_gates.gate_ofdm_decode(rng)
     oreps = 16
     while True:
         t0 = time.perf_counter()
@@ -295,6 +218,73 @@ def main() -> None:
         oreps *= 2
     ofdm_msps = oreps * n_link / oel / 1e6
     ofdm_fps = oreps * F / oel
+
+    # Adaptive link: the liquid-equivalent STREAMING receiver
+    # (phy/framesync.py::StreamReceiver.process — per-frame config riding
+    # the coded PHY header, residual carry across blocks), the path that
+    # replaces ofdmflexframesync_execute per SURVEY §2.1
+    # (src/extensible_cognitive_radio.cpp:1299-1366).  A mixed-config
+    # burst (alternating qam4/h128 and qam16/none payload configs) streams
+    # through process(); the figure includes the scan dispatch, the per-
+    # config decode dispatches, AND the host round trips — the honest
+    # per-block cost of the adaptive mode.
+    import dataclasses as _dcc
+
+    from cognitive_radio_network_tpu.phy.framesync import StreamReceiver
+
+    acfg_a = OFDMFrameConfig()
+    acfg_b = _dcc.replace(acfg_a, mod_scheme="qam16", fec0="none")
+    F_ad = 2048
+    apay = 256
+    agen_a = OFDMFrameGen(acfg_a, apay)
+    agen_b = OFDMFrameGen(acfg_b, apay)
+    ah = rng.integers(0, 256, (F_ad, 8)).astype(np.uint8)
+    ap = rng.integers(0, 256, (F_ad, apay)).astype(np.uint8)
+    fr_a = np.asarray(agen_a.assemble(ah[0::2], ap[0::2], as_planes=True))
+    fr_b = np.asarray(agen_b.assemble(ah[1::2], ap[1::2], as_planes=True))
+    agap = 512
+    step_a = fr_a.shape[1] + agap
+    step_b = fr_b.shape[1] + agap
+    n_ad = (F_ad // 2) * (step_a + step_b)
+    arr = np.zeros(n_ad, np.float32)
+    ari = np.zeros(n_ad, np.float32)
+    pos = 0
+    a_offs = []
+    for i in range(F_ad // 2):
+        a_offs.append(pos)
+        arr[pos : pos + fr_a.shape[1]] = fr_a[i, :, 0]
+        ari[pos : pos + fr_a.shape[1]] = fr_a[i, :, 1]
+        pos += step_a
+        a_offs.append(pos)
+        arr[pos : pos + fr_b.shape[1]] = fr_b[i, :, 0]
+        ari[pos : pos + fr_b.shape[1]] = fr_b[i, :, 1]
+        pos += step_b
+    srx = StreamReceiver(acfg_a, max_frames_per_block=F_ad)
+    ablock = (arr, ari)
+    frames0 = srx.process(ablock, threshold=0.2)
+    # correctness gate: every frame of both configs decodes with its
+    # payload intact before anything is timed
+    assert len(frames0) == F_ad, (len(frames0), F_ad)
+    got_pay = np.stack(
+        [f["payload"] for f in frames0]
+    )
+    assert np.array_equal(got_pay, ap), "adaptive decode mismatch"
+    assert all(f["stats"].payload_valid for f in frames0)
+    mods = [f["stats"].mod_scheme for f in frames0]
+    assert mods[0::2] == ["qam4"] * (F_ad // 2)
+    assert mods[1::2] == ["qam16"] * (F_ad // 2)
+    areps = 4
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(areps):
+            af = srx.process(ablock, threshold=0.2)
+        ael = time.perf_counter() - t0
+        assert len(af) == F_ad
+        if ael > 2.0 or areps >= 64:
+            break
+        areps *= 2
+    adaptive_msps = areps * n_ad / ael / 1e6
+    adaptive_fps = areps * F_ad / ael
 
     # Alt mode: bf16 IQ ingest + single-pass bf16 matmuls (precision
     # "default") — half the HBM read traffic, ~0.5% feature error (well
@@ -357,6 +347,35 @@ def main() -> None:
     dctl.run()
     dist_realtime_factor = dctl.steady_t / max(dctl.steady_wall_time_s, 1e-9)
 
+    # 8-node distributed mode: the reference-scale process topology — 3 FDD
+    # pairs + 2 interferers as 8 OS processes through the TCP star
+    # (scenarios/eight_node.cfg; include/crts.hpp:189 allows 48).  Two
+    # numbers: the AGGREGATE realtime factor on this host (all 8 node
+    # processes share this machine's cores — on the 2-core bench box the
+    # aggregate is CPU-bound), and the PER-NODE margin max(node CPU
+    # seconds)/sim seconds, which is the real-time criterion under the
+    # reference's actual deployment model of one host per node process
+    # (src/crts_controller.cpp:404-421 ssh-launches each node on its own
+    # server_ip): margin < 1.0 means every node individually sustains
+    # real time on a single core.
+    scn8 = Path(__file__).parent / "scenarios" / "eight_node.cfg"
+    wcfg8 = load_scenario(scn8)
+    wcfg8.run_time = 2.0
+    NetController(wcfg8, port=47493, start_pad_s=1.0).run()
+    dcfg8 = load_scenario(scn8)
+    dcfg8.run_time = 12.0
+    dctl8 = NetController(dcfg8, port=47494, start_pad_s=1.0)
+    dctl8.run()
+    dist8_factor = dctl8.steady_t / max(dctl8.steady_wall_time_s, 1e-9)
+    node_cpu = [
+        s.get("cpu_time_s", 0.0) for s in dctl8.summaries.values()
+    ]
+    sim_s = max(
+        (s.get("sim_time_s", 0.0) for s in dctl8.summaries.values()),
+        default=dcfg8.run_time,
+    )
+    node_margin8 = max(node_cpu) / max(sim_s, 1e-9) if node_cpu else float("nan")
+
     print(
         json.dumps(
             {
@@ -377,9 +396,17 @@ def main() -> None:
                     "wideband_64ch_msps": round(wideband_msps, 2),
                     "ofdm_link_msps": round(ofdm_msps, 2),
                     "ofdm_link_frames_per_s": round(ofdm_fps, 1),
+                    "adaptive_link_msps": round(adaptive_msps, 2),
+                    "adaptive_link_frames_per_s": round(adaptive_fps, 1),
                     "scenario_realtime_factor": round(realtime_factor, 3),
                     "distributed_realtime_factor": round(
                         dist_realtime_factor, 3
+                    ),
+                    "distributed_realtime_factor_8node": round(
+                        dist8_factor, 3
+                    ),
+                    "distributed_8node_max_node_cpu_per_sim_s": round(
+                        node_margin8, 3
                     ),
                 },
             }

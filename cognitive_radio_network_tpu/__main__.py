@@ -163,6 +163,20 @@ def main(argv=None) -> int:
     sp.add_argument(
         "--transport", choices=("auto", "native", "python"), default="auto"
     )
+    sp.add_argument(
+        "--launch",
+        choices=("local", "manual", "ssh"),
+        default=None,
+        help="with -d: node launch mode — 'ssh' starts each node on its "
+        "configured server_ip over ssh with sysout capture and exact-PID "
+        "remote kill (crts_controller.cpp:404-421)",
+    )
+    sp.add_argument(
+        "-a",
+        "--addr",
+        default="127.0.0.1",
+        help="with --launch ssh: the controller address remote nodes dial",
+    )
 
     np_ = sub.add_parser(
         "node",
@@ -323,7 +337,9 @@ def main(argv=None) -> int:
                     rep_cfg,
                     port=args.port,
                     transport=args.transport,
-                    launch="manual" if args.manual else "local",
+                    launch=args.launch
+                    or ("manual" if args.manual else "local"),
+                    controller_addr=args.addr,
                 )
                 summaries.append(ctl.run(rep))
         else:

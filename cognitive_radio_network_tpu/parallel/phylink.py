@@ -214,6 +214,7 @@ class ShardedStreamReceiver:
         self.k_per_shard = k_per_shard
         self._syncs: dict[tuple, OFDMFrameSync] = {}
         self._scan_cache: dict[int, callable] = {}
+        self._decode_cache: dict[tuple, callable] = {}
         self._residual = np.zeros(0, np.complex64)
         self._residual_offset = 0  # absolute sample index of residual[0]
         # same contract as StreamReceiver.pending_frame
@@ -286,6 +287,55 @@ class ShardedStreamReceiver:
         self._scan_cache[shard_len] = fn
         return fn
 
+    def _sharded_decode(self, key: tuple, shard_len: int, gpad: int):
+        """Sharded window-gather + batched decode for one payload config.
+
+        The decode stage consumes the SHARDED stream planes, not a
+        replicated full buffer: each shard extracts the slice of every
+        frame window that overlaps its own segment (one contiguous DMA per
+        frame), zero-masks the rest, and a single psum over the time axis
+        assembles complete (G, frame_len) windows — the only cross-shard
+        traffic, O(G * frame_len), riding ICI.  Per-device live memory is
+        O(n/d + G * frame_len) instead of the previous full-buffer
+        O(n) `decode_at` (round-3 review item #2), and a frame body may
+        still span ANY number of shards.  Decodes bit-match `decode_at`:
+        the gathered windows are sample-identical.
+        """
+        ck = (key, shard_len, gpad)
+        if ck in self._decode_cache:
+            return self._decode_cache[ck]
+        from cognitive_radio_network_tpu.ops.extract import extract_windows
+        from cognitive_radio_network_tpu.phy.framesync import _rx_graph
+
+        sync = self._syncs[key]
+        gen = sync.gen
+        flen = gen.frame_len
+        axis = self.time_axis
+
+        def local(rr_l, ri_l, offs, cfs):
+            start = jax.lax.axis_index(axis) * shard_len
+            pad_r = jnp.pad(rr_l, (flen, flen))
+            pad_i = jnp.pad(ri_l, (flen, flen))
+            rel = jnp.clip(offs - start + flen, 0, shard_len + flen)
+            wr, wi = extract_windows(pad_r, pad_i, rel, flen)  # (G, flen)
+            gpos = offs[:, None] + jnp.arange(flen)[None, :]
+            owned = (gpos >= start) & (gpos < start + shard_len)
+            wr = jax.lax.psum(jnp.where(owned, wr, 0.0), axis)
+            wi = jax.lax.psum(jnp.where(owned, wi, 0.0), axis)
+            return _rx_graph(gen, wr, wi, cfs)
+
+        fn = jax.jit(
+            shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(P(axis), P(axis), P(), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        self._decode_cache[ck] = fn
+        return fn
+
     def skip(self, n: int) -> None:
         """Advance past ``n`` squelched samples (same contract as
         :meth:`StreamReceiver.skip`)."""
@@ -322,16 +372,25 @@ class ShardedStreamReceiver:
             return []
 
         d = self.mesh.shape[self.time_axis]
-        # shard-length buckets (powers of two, >= halo so the head slice
-        # is in range) bound the number of compilations
+        # shard-length buckets (eighth-octave granularity, >= halo so the
+        # head slice is in range) bound compilations with <= 12.5% padding
+        # — a full power-of-two round-up wasted up to ~2x per-shard memory
+        # and scan compute
+        from cognitive_radio_network_tpu.phy.framesync import _bucket_len
+
         min_len = max(-(-n // d), self.scan_halo, 4 * self.cfg.num_subcarriers)
-        shard_len = 1 << int(np.ceil(np.log2(min_len)))
+        shard_len = _bucket_len(min_len)
         tot = d * shard_len
         rr = np.zeros(tot, np.float32)
         ri = np.zeros(tot, np.float32)
         rr[:n] = buf.real
         ri[:n] = buf.imag
-        rr_d, ri_d = jnp.asarray(rr), jnp.asarray(ri)
+        # shard the stream planes across the mesh UP FRONT: both the scan
+        # and the windowed decode consume P(time)-sharded inputs, so no
+        # device ever materializes the whole block
+        sharding = jax.NamedSharding(self.mesh, P(self.time_axis))
+        rr_d = jax.device_put(jnp.asarray(rr), sharding)
+        ri_d = jax.device_put(jnp.asarray(ri), sharding)
 
         # dispatch 1: the sharded scan (all shards in one jit call)
         out = self._sharded_scan(shard_len)(rr_d, ri_d, jnp.int32(n))
@@ -381,7 +440,9 @@ class ShardedStreamReceiver:
             cf = np.zeros(kpad, np.float32)
             offs[:g] = [off for off, _ in items]
             cf[:g] = [float(cfos[i]) for _, i in items]
-            dec = sync.decode_at(rr_d, ri_d, offs, cf)
+            dec = self._sharded_decode(parsed, shard_len, kpad)(
+                rr_d, ri_d, jnp.asarray(offs), jnp.asarray(cf)
+            )
             dec = {kk: np.asarray(v) for kk, v in dec.items()}
             for j, (off, _i) in enumerate(items):
                 frames.append(

@@ -73,12 +73,14 @@ def wideband_sense(
       occupied (..., C, M)  boolean energy-detector decisions
     with C = T / block_len sense cycles.
 
-    The energy never needs the channelized IQ materialized, so the
-    unbatched time-sharded case routes through the lane-packed energy fast
-    path — the fused Pallas kernel on TPU
-    (:func:`sharded_wideband_energy_fused`, ``use_fused=None`` auto-selects
-    it off-CPU when shapes allow), the packed XLA formulation otherwise.
-    The batched case falls back to the materializing channelizer.
+    The energy never needs the channelized IQ materialized, so both the
+    unbatched time-sharded case and the batched (data-parallel) case route
+    through the lane-packed energy fast path — the fused Pallas kernel on
+    TPU for the unbatched case (:func:`sharded_wideband_energy_fused`,
+    ``use_fused=None`` auto-selects it off-CPU when shapes allow), the
+    packed XLA formulation otherwise.  Only inputs whose per-shard length
+    doesn't divide into whole sense cycles fall back to the materializing
+    channelizer.
     """
     m = cfg.num_channels
     has_channel = "channel" in mesh.axis_names
@@ -86,6 +88,7 @@ def wideband_sense(
 
     planar = isinstance(planes, (tuple, list))
     energy = None
+    batched_arr = not planar and planes.ndim == 3 and batch_axis is not None
     if (planar or planes.ndim == 2) and batch_axis is None and t_axis:
         d = mesh.shape[t_axis]
         n_wide = planes[0].shape[0] if planar else planes.shape[0]
@@ -115,6 +118,26 @@ def wideband_sense(
                     xr, xi, mesh, cfg, time_axis=t_axis,
                     precision=cfg.precision,
                 )
+    elif batched_arr and t_axis:
+        # data-parallel batch of streams: the same lane-packed energy
+        # formulation, batch rows sharded over batch_axis, each row's
+        # stream time-sharded with the per-row ppermute FIR halo — the
+        # materializing channelizer (12x the FLOPs, channelized IQ in HBM)
+        # is no longer on the training path (round-3 review item #6)
+        dt = mesh.shape[t_axis]
+        db = mesh.shape[batch_axis] if batch_axis in mesh.axis_names else 1
+        b, n_wide = planes.shape[0], planes.shape[1]
+        t_total = n_wide // m
+        if b % db == 0 and t_total % (dt * cfg.block_len) == 0:
+            energy = sharded_wideband_energy_packed(
+                planes[..., 0],
+                planes[..., 1],
+                mesh,
+                cfg,
+                time_axis=t_axis,
+                batch_axis=batch_axis,
+                precision=cfg.precision,
+            )
 
     if energy is None:
         chan = sharded_channelize(
@@ -162,20 +185,23 @@ def _fir_rows(
 ) -> jax.Array:
     """Depthwise polyphase FIR on lane-concat planes.
 
-    v_in: (T, 2M) rows [xr_phases | xi_phases]; taps (P, M).  Returns
-    (T, 2M) with v[t, c] = sum_p h[p, c] * v_in[t-p, c] per plane — eight
-    shifted VPU multiply-adds, no matmul.  ``history`` (P-1, 2M) seeds the
-    first rows (overlap-save carry; zeros when None)."""
+    v_in: (..., T, 2M) rows [xr_phases | xi_phases]; taps (P, M).  Returns
+    (..., T, 2M) with v[t, c] = sum_p h[p, c] * v_in[t-p, c] per plane —
+    eight shifted VPU multiply-adds, no matmul.  ``history`` (..., P-1, 2M)
+    seeds the first rows (overlap-save carry; zeros when None)."""
     p = taps.shape[0]
-    t = v_in.shape[0]
+    ax = v_in.ndim - 2  # the phase-row (time) axis
+    t = v_in.shape[ax]
     hf = jnp.flip(taps.astype(jnp.float32), axis=0)
     hf2 = jnp.concatenate([hf, hf], axis=1)  # (P, 2M): same taps per plane
     if history is None:
-        history = jnp.zeros((p - 1, v_in.shape[1]), jnp.float32)
-    ext = jnp.concatenate([history, v_in], axis=0)  # (T+P-1, 2M)
-    v = hf2[0] * jax.lax.slice_in_dim(ext, 0, t, axis=0)
+        history = jnp.zeros(
+            (*v_in.shape[:ax], p - 1, v_in.shape[-1]), jnp.float32
+        )
+    ext = jnp.concatenate([history, v_in], axis=ax)  # (..., T+P-1, 2M)
+    v = hf2[0] * jax.lax.slice_in_dim(ext, 0, t, axis=ax)
     for s in range(1, p):
-        v = v + hf2[s] * jax.lax.slice_in_dim(ext, s, s + t, axis=0)
+        v = v + hf2[s] * jax.lax.slice_in_dim(ext, s, s + t, axis=ax)
     return v
 
 
@@ -227,6 +253,7 @@ def sharded_wideband_energy_packed(
     cfg: WidebandConfig,
     *,
     time_axis: str = "time",
+    batch_axis: str | None = None,
     precision: str = "high",
 ) -> jax.Array:
     """Time-sharded lane-packed energy detector (BASELINE config 5 on the
@@ -235,8 +262,11 @@ def sharded_wideband_energy_packed(
     (512 wide samples >= the P-1 phase-row history) — flowing between ring
     neighbors via the same ppermute halo as sharded_channelize.
 
-    xr/xi: (T*M,) planar wide stream, sharded over ``time_axis``.
-    Returns (C, M) energies with the cycle axis sharded the same way.
+    xr/xi: (T*M,) planar wide stream sharded over ``time_axis``, or
+    (B, T*M) batched with the leading dim sharded over ``batch_axis`` —
+    each batch row is an independent stream (its FIR starts from rest),
+    and the halo exchange runs per row along the time axis.
+    Returns (C, M) / (B, C, M) energies, sharded the same way.
     """
     from cognitive_radio_network_tpu.parallel.halo import halo_exchange
     from cognitive_radio_network_tpu.signal.channelizer import _PRECISIONS
@@ -245,30 +275,39 @@ def sharded_wideband_energy_packed(
     prec = _PRECISIONS[precision]
     taps = jnp.asarray(cfg.taps())
     dft = _dft_complex_block(m)
+    batched = xr.ndim == 2
 
     def local(xr_l, xi_l):
-        t_local = xr_l.shape[0] // m
+        t_local = xr_l.shape[-1] // m
+        lead = xr_l.shape[:-1]
         v_in = jnp.concatenate(
-            [xr_l.reshape(t_local, m), xi_l.reshape(t_local, m)], axis=1
+            [
+                xr_l.reshape(*lead, t_local, m),
+                xi_l.reshape(*lead, t_local, m),
+            ],
+            axis=-1,
         )
         # halo: previous shard's last P-1 phase rows seed this shard's FIR
-        ext = halo_exchange(v_in, p - 1, time_axis, axis=0)
-        v = _fir_rows(v_in, taps, history=ext[: p - 1])
+        t_ax = v_in.ndim - 2
+        ext = halo_exchange(v_in, p - 1, time_axis, axis=t_ax)
+        hist = jax.lax.slice_in_dim(ext, 0, p - 1, axis=t_ax)
+        v = _fir_rows(v_in, taps, history=hist)
         y = jnp.matmul(
             v, dft, precision=prec, preferred_element_type=jnp.float32
         )
-        power = y[:, :m] ** 2 + y[:, m:] ** 2
+        power = y[..., :m] ** 2 + y[..., m:] ** 2
         return power.reshape(
-            t_local // cfg.block_len, cfg.block_len, m
-        ).mean(axis=1)
+            *lead, t_local // cfg.block_len, cfg.block_len, m
+        ).mean(axis=-2)
 
     from jax import shard_map
 
+    spec = P(batch_axis, time_axis) if batched else P(time_axis)
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(time_axis), P(time_axis)),
-        out_specs=P(time_axis),
+        in_specs=(spec, spec),
+        out_specs=spec,
         check_vma=False,
     )(xr, xi)
 

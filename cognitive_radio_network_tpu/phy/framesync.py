@@ -611,6 +611,82 @@ def _scan_jit_for(cfg: OFDMFrameConfig, k: int):
     return jax.jit(functools.partial(_scan_block_graph, gen_for(cfg, 1), k=k))
 
 
+# Packed variants: ONE device->host transfer per dispatch instead of one
+# per output array.  On the tunneled TPU backend every fetch is a ~25 ms
+# round trip (CLAUDE.md), so the streaming receiver's per-block cost was
+# 6 round trips for the scan + 8 for each decode; packed, it is 1 + 2.
+
+
+def _scan_block_graph_packed(layout, rr, ri, n_valid, *, k: int):
+    bests, peaks, cfos, headers, phy, hdr_ok = _scan_block_graph(
+        layout, rr, ri, n_valid, k=k
+    )
+    cols = [
+        bests.astype(jnp.int32)[:, None],
+        jax.lax.bitcast_convert_type(peaks.astype(jnp.float32), jnp.int32)[:, None],
+        jax.lax.bitcast_convert_type(cfos.astype(jnp.float32), jnp.int32)[:, None],
+        hdr_ok.astype(jnp.int32)[:, None],
+        headers.astype(jnp.int32),
+        phy.astype(jnp.int32),
+    ]
+    return jnp.concatenate(cols, axis=1)  # (K, 18) int32
+
+
+def _unpack_scan(packed: np.ndarray):
+    bests = packed[:, 0]
+    peaks = np.ascontiguousarray(packed[:, 1]).view(np.float32)
+    cfos = np.ascontiguousarray(packed[:, 2]).view(np.float32)
+    hdr_ok = packed[:, 3].astype(bool)
+    headers = packed[:, 4:12].astype(np.uint8)
+    phy = packed[:, 12:18].astype(np.uint8)
+    return bests, peaks, cfos, headers, phy, hdr_ok
+
+
+def _rx_at_graph_packed(gen, rr, ri, offsets, cfos):
+    out = _rx_at_graph(gen, rr, ri, offsets, cfos)
+    bytes_cols = [
+        out["headers"],
+        out["phy"],
+        out["payloads"],
+        out["hdr_ok"].astype(jnp.uint8)[:, None],
+        out["pay_ok"].astype(jnp.uint8)[:, None],
+    ]
+    f32_cols = jnp.stack(
+        [out["evm_db"], out["rssi_db"], out["cfo"]], axis=1
+    )  # (G, 3)
+    return jnp.concatenate(bytes_cols, axis=1), f32_cols
+
+
+def _unpack_rx(bytes_packed: np.ndarray, f32_packed: np.ndarray, payload_len: int):
+    b = np.asarray(bytes_packed)
+    f = np.asarray(f32_packed)
+    p = payload_len
+    return {
+        "headers": b[:, :8],
+        "phy": b[:, 8:14],
+        "payloads": b[:, 14 : 14 + p],
+        "hdr_ok": b[:, 14 + p].astype(bool),
+        "pay_ok": b[:, 15 + p].astype(bool),
+        "evm_db": f[:, 0],
+        "rssi_db": f[:, 1],
+        "cfo": f[:, 2],
+    }
+
+
+@functools.lru_cache(maxsize=512)
+def _scan_packed_jit_for(cfg: OFDMFrameConfig, k: int):
+    return jax.jit(
+        functools.partial(_scan_block_graph_packed, gen_for(cfg, 1), k=k)
+    )
+
+
+@functools.lru_cache(maxsize=512)
+def _rx_at_packed_jit_for(cfg: OFDMFrameConfig, payload_len: int):
+    return jax.jit(
+        functools.partial(_rx_at_graph_packed, gen_for(cfg, payload_len))
+    )
+
+
 # ----------------------------------------------------------------------
 # adaptive streaming receiver
 # ----------------------------------------------------------------------
@@ -702,9 +778,10 @@ class StreamReceiver:
         rr[:n] = buf.real
         ri[:n] = buf.imag
         rr_d, ri_d = jnp.asarray(rr), jnp.asarray(ri)
-        bests, peaks, cfos, headers, phys, hdr_ok = (
-            np.asarray(x)
-            for x in _scan_jit_for(self.cfg, keff)(rr_d, ri_d, jnp.int32(n))
+        bests, peaks, cfos, headers, phys, hdr_ok = _unpack_scan(
+            np.asarray(
+                _scan_packed_jit_for(self.cfg, keff)(rr_d, ri_d, jnp.int32(n))
+            )
         )
 
         # host: order candidates by position, resolve configs, group
@@ -745,8 +822,10 @@ class StreamReceiver:
             cf = np.zeros(self.max_frames_per_block, np.float32)
             offs[:g] = [off for off, _ in items]
             cf[:g] = [float(cfos[i]) for _, i in items]
-            out = sync.decode_at(rr_d, ri_d, offs, cf)
-            out = {k: np.asarray(v) for k, v in out.items()}
+            bpk, fpk = _rx_at_packed_jit_for(sync.cfg, sync.payload_len)(
+                rr_d, ri_d, jnp.asarray(offs), jnp.asarray(cf)
+            )
+            out = _unpack_rx(bpk, fpk, sync.payload_len)
             for j, (off, _i) in enumerate(items):
                 frames.append(
                     {

@@ -34,6 +34,8 @@ class NodeConfig:
     python_args: str = ""
     team_name: str = ""
     server_ip: str = "127.0.0.1"
+    # ssh login for launch="ssh" ("" = current user), crts_controller.cpp:404
+    server_user: str = ""
     crts_ip: str = "10.0.0.2"
     target_ip: str = "10.0.0.3"
 

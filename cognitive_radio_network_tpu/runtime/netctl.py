@@ -239,10 +239,21 @@ def _fit_recv_cap(conn, block_len: int) -> None:
 class NetController:
     """Controller process: scenario server + medium hub.
 
-    ``launch='local'`` spawns node client subprocesses; ``launch='manual'``
+    ``launch='local'`` spawns node client subprocesses; ``launch='ssh'``
+    launches each node on its configured ``server_ip`` as
+    ``server_user`` over ssh, capturing its stdout under
+    ``sysout_dir`` and force-killing the exact remote PID on abnormal
+    termination (the reference's automated remote launch + kill,
+    src/crts_controller.cpp:404-421, :567-577); ``launch='manual'``
     only listens (the reference's ``-m`` manual mode,
     src/crts_controller.cpp:221, where operators start nodes by hand —
     possibly on other hosts pointing ``-a`` at this controller).
+
+    ``ssh_cmd`` is the ssh argv prefix (host and remote command are
+    appended); ``controller_addr`` is the address remote nodes dial back
+    to (the reference passes its autodetected eth0 IP via ``-a``,
+    src/crts_controller.cpp:191-204); ``remote_python`` names the
+    interpreter on the remote hosts.
     """
 
     def __init__(
@@ -254,6 +265,11 @@ class NetController:
         launch: str = "local",
         start_pad_s: float = 0.25,
         log_sink: LogSink | None = None,
+        ssh_cmd: list[str] | None = None,
+        controller_addr: str = "127.0.0.1",
+        remote_python: str = "python3",
+        sysout_dir: str = "logs/sysout",
+        accept_timeout_s: float | None = None,
     ):
         self.cfg = cfg
         self.port = port
@@ -280,6 +296,21 @@ class NetController:
         self.t = 0.0
         self.summaries: dict[int, dict] = {}
         self.terminated = False
+        self.ssh_cmd = ssh_cmd or ["ssh", "-o", "BatchMode=yes"]
+        self.controller_addr = controller_addr
+        self.remote_python = remote_python
+        self.sysout_dir = sysout_dir
+        self._sysout_files: list[Any] = []  # (node idx, path) for ssh launch
+        self._stderr_files: list[Any] = []  # (node idx, tempfile)
+        self._ssh_hosts: list[str] = []
+        # N simultaneously-launched node processes import their runtime
+        # before dialing in; the accept window must scale with the launch
+        # storm (48 processes on a small host take minutes to all arrive)
+        self.accept_timeout_s = (
+            accept_timeout_s
+            if accept_timeout_s is not None
+            else 30.0 + 4.0 * len(cfg.nodes)
+        )
 
     # SC control channel (set_node_parameter -> CRTS_MSG_CONTROL,
     # src/scenario_controller.cpp:13-28)
@@ -290,28 +321,119 @@ class NetController:
             Msg.CONTROL, _json({"param": param.value, "value": value})
         )
 
+    def _node_argv(self, addr: str) -> list[str]:
+        return [
+            sys.executable,
+            "-m",
+            "cognitive_radio_network_tpu",
+            "node",
+            "-a",
+            addr,
+            "-p",
+            str(self.port),
+            "--transport",
+            self.transport_kind,
+        ]
+
+    @staticmethod
+    def _node_env() -> dict:
+        """Node-process environment: one BLAS/OpenMP thread per node — N
+        node processes each spawning a thread pool oversubscribe the host
+        (the reference's node binaries are single-threaded per function
+        for the same reason)."""
+        import os
+
+        env = dict(os.environ)
+        for k in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+            env.setdefault(k, "1")
+        return env
+
+    def _stderr_file(self, i: int):
+        """Per-node stderr capture FILE — a PIPE nobody drains deadlocks
+        the node once 64 KB of warnings accumulate (XLA's persistent-cache
+        feature-mismatch warning alone is ~2 KB per compile)."""
+        import tempfile
+
+        f = tempfile.NamedTemporaryFile(
+            mode="w+b", prefix=f"crn_node{i}_", suffix=".stderr", delete=False
+        )
+        self._stderr_files.append((i, f))
+        return f
+
     def _launch_nodes(self) -> None:
+        if self.launch == "ssh":
+            self._launch_nodes_ssh()
+            return
         if self.launch != "local":
             return
+        env = self._node_env()
         for i in range(len(self.cfg.nodes)):
             self.procs.append(
                 subprocess.Popen(
-                    [
-                        sys.executable,
-                        "-m",
-                        "cognitive_radio_network_tpu",
-                        "node",
-                        "-a",
-                        "127.0.0.1",
-                        "-p",
-                        str(self.port),
-                        "--transport",
-                        self.transport_kind,
-                    ],
+                    self._node_argv("127.0.0.1"),
                     stdout=subprocess.DEVNULL,
-                    stderr=subprocess.PIPE,
+                    stderr=self._stderr_file(i),
+                    env=env,
                 )
             )
+
+    def _launch_nodes_ssh(self) -> None:
+        """One ssh-launched node process per node on its ``server_ip``
+        (src/crts_controller.cpp:404-421).  The remote shell first prints
+        its PID and then ``exec``s the node client (same PID), so the
+        sysout capture doubles as the exact-PID record for remote
+        forceful kill — the reference resorted to a remote pkill-by-name
+        script (src/terminate_crts_cognitive_radio.py)."""
+        from pathlib import Path
+
+        out_dir = Path(self.sysout_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for i, nc in enumerate(self.cfg.nodes):
+            host = nc.server_ip
+            target = f"{nc.server_user}@{host}" if nc.server_user else host
+            remote = (
+                f"echo CRN_NODE_PID $$; exec {self.remote_python} -m "
+                f"cognitive_radio_network_tpu node -a {self.controller_addr} "
+                f"-p {self.port} --transport {self.transport_kind}"
+            )
+            out_path = out_dir / f"{self.cfg.name}_node{i}.log"
+            out_f = open(out_path, "wb")
+            self._sysout_files.append((i, out_path, out_f))
+            self._ssh_hosts.append(target)
+            self.procs.append(
+                subprocess.Popen(
+                    [*self.ssh_cmd, target, remote],
+                    stdout=out_f,
+                    stderr=self._stderr_file(i),
+                )
+            )
+
+    def _remote_pid(self, i: int) -> int | None:
+        """Parse the CRN_NODE_PID line from node i's sysout capture."""
+        for j, path, _f in self._sysout_files:
+            if j != i:
+                continue
+            try:
+                for line in path.read_bytes().splitlines():
+                    if line.startswith(b"CRN_NODE_PID "):
+                        return int(line.split()[1])
+            except (OSError, ValueError):
+                return None
+        return None
+
+    def _ssh_kill(self, i: int) -> None:
+        """Forceful remote termination of node i's EXACT pid
+        (the reference's ssh kill -9, src/crts_controller.cpp:567-577)."""
+        pid = self._remote_pid(i)
+        if pid is None or i >= len(self._ssh_hosts):
+            return
+        subprocess.run(
+            [*self.ssh_cmd, self._ssh_hosts[i], f"kill -9 {pid}"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            timeout=15,
+            check=False,
+        )
 
     def _handle_feedback(self, payload: bytes) -> None:
         d = json.loads(payload)
@@ -324,15 +446,23 @@ class NetController:
         reference controller notices disconnects, src/crts_controller.cpp:43-54,
         but discards the remote stderr; we surface it)."""
         out = []
+        files = dict((i, f) for i, f in self._stderr_files)
         for i, p in enumerate(self.procs):
             try:  # give a dying process a moment to flush and exit
                 p.wait(timeout=5)
             except subprocess.TimeoutExpired:
                 continue
-            if p.stderr is not None:
-                tail = p.stderr.read().decode(errors="replace")[-2000:]
-                if tail.strip():
-                    out.append(f"--- node {i} (rc={p.returncode}) stderr ---\n{tail}")
+            f = files.get(i)
+            if f is None:
+                continue
+            try:
+                f.flush()
+                f.seek(0)
+                tail = f.read().decode(errors="replace")[-2000:]
+            except (OSError, ValueError):
+                continue
+            if tail.strip():
+                out.append(f"--- node {i} (rc={p.returncode}) stderr ---\n{tail}")
         return "\n".join(out)
 
     def run(self, rep: int = 1) -> ScenarioSummary:
@@ -343,9 +473,11 @@ class NetController:
             self._launch_nodes()
             # accept + parameter push (src/crts_controller.cpp:430-473)
             for i in range(len(cfg.nodes)):
-                conn = self.tcls.accept(srv, 30000)
+                conn = self.tcls.accept(srv, int(self.accept_timeout_s * 1e3))
                 if conn is None:
-                    raise TimeoutError(f"node {i} did not connect")
+                    raise TimeoutError(
+                        f"node {i} did not connect\n" + self._node_stderr_tail()
+                    )
                 _fit_recv_cap(conn, cfg.medium_block_len)
                 self.conns.append(conn)
             scenario_d = dataclasses.asdict(cfg)
@@ -442,8 +574,12 @@ class NetController:
                     conn.send(Msg.TERMINATE)
                 except (ConnectionError, OSError):
                     pass  # node already finished and sent its summary
+            # summary deadline scales with the fleet: at 48 processes the
+            # post-terminate drain (final rx processing + summary send)
+            # contends for the host's cores
+            summary_wait = 30.0 + 2.0 * len(self.conns)
             for i, conn in enumerate(self.conns):
-                deadline = time.time() + 30.0
+                deadline = time.time() + summary_wait
                 while i not in self.summaries and time.time() < deadline:
                     try:
                         msg = conn.recv(5000)
@@ -468,11 +604,31 @@ class NetController:
             self.tcls.close_server(srv)
             # forceful termination of the exact PIDs we spawned
             # (the reference's ssh kill -9, src/crts_controller.cpp:567-577)
-            for p in self.procs:
+            for i, p in enumerate(self.procs):
                 try:
                     p.wait(timeout=10)
                 except subprocess.TimeoutExpired:
-                    p.kill()
+                    if self.launch == "ssh":
+                        self._ssh_kill(i)  # exact remote PID first
+                        try:
+                            p.wait(timeout=5)
+                        except subprocess.TimeoutExpired:
+                            p.kill()
+                    else:
+                        p.kill()
+            for _i, _path, f in self._sysout_files:
+                try:
+                    f.close()
+                except OSError:
+                    pass
+            import os as _os
+
+            for _i, f in self._stderr_files:
+                try:
+                    f.close()
+                    _os.unlink(f.name)
+                except OSError:
+                    pass
         n = len(cfg.nodes)
         empty = {"bytes_sent": 0, "bytes_received": 0, "frames": 0, "valid": 0}
         s = [self.summaries.get(i, empty) for i in range(n)]
@@ -652,6 +808,7 @@ def _run_node_client_inner(
         # same step count as the controller (and as ScenarioRuntime's
         # `while t < run_time`), so traffic accounting is identical
         num_steps = math.ceil(cfg.run_time / mcfg.block_dt - 1e-9)
+        cpu_t0 = time.process_time()  # lockstep-loop CPU accounting
 
         # Pipelined lockstep (ScenarioConfig.net_pipeline): the serial loop
         # is [produce tx N -> send -> wait -> process rx N] with every stage
@@ -762,7 +919,12 @@ def _run_node_client_inner(
         finally:
             if executor is not None:
                 executor.shutdown(wait=True)
-        # end-of-run summary (CRTS_MSG_SUMMARY, :958-967)
+        # end-of-run summary (CRTS_MSG_SUMMARY, :958-967); cpu_time_s is
+        # this process's CPU cost of the lockstep loop alone (imports and
+        # graph compiles excluded) — the controller uses it to report the
+        # per-node real-time margin under the reference's one-host-per-node
+        # deployment model
+        cpu_time_s = time.process_time() - cpu_t0
         if isinstance(node, RadioNode):
             sent = node.traffic.packet_num * 256
             rcvd = sum(len(p) for (_, _, p) in node.rx_packets)
@@ -772,9 +934,18 @@ def _run_node_client_inner(
                 "bytes_received": rcvd,
                 "frames": len(st.records),
                 "valid": sum(1 for r in st.records if r.valid),
+                "cpu_time_s": cpu_time_s,
+                "sim_time_s": t,
             }
         else:
-            summary = {"bytes_sent": 0, "bytes_received": 0, "frames": 0, "valid": 0}
+            summary = {
+                "bytes_sent": 0,
+                "bytes_received": 0,
+                "frames": 0,
+                "valid": 0,
+                "cpu_time_s": cpu_time_s,
+                "sim_time_s": t,
+            }
         conn.send(Msg.SUMMARY, _json(summary))
         return 0
     finally:

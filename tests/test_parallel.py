@@ -268,3 +268,67 @@ class TestPackedWidebandEnergy:
             np.testing.assert_allclose(
                 np.asarray(planar[k]), np.asarray(fast[k]), rtol=1e-6, atol=0
             )
+
+
+class TestBatchedWidebandFastPath:
+    """Round-3 review item #6: the batched (data-parallel) wideband case
+    must ride the lane-packed energy fast path, not the materializing
+    channelizer — and match the single-device formulation per row."""
+
+    def test_batched_matches_per_row_single_device(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from cognitive_radio_network_tpu.parallel.wideband import (
+            WidebandConfig,
+            wideband_energy_packed,
+            wideband_sense,
+        )
+
+        cfg = WidebandConfig(num_channels=16, taps_per_channel=8, block_len=8)
+        taps = jnp.asarray(cfg.taps())
+        mesh = Mesh(
+            np.array(jax.devices()[:8]).reshape(2, 4), ("data", "time")
+        )
+        b, t = 4, 64  # 4 streams of 64 phase-rows (4 cycles)
+        planes = rng.standard_normal((b, t * cfg.num_channels, 2)).astype(
+            np.float32
+        )
+        out = wideband_sense(
+            jnp.asarray(planes), taps, mesh, cfg, batch_axis="data"
+        )
+        got = np.asarray(out["energy"])
+        assert got.shape == (b, t // cfg.block_len, cfg.num_channels)
+        for i in range(b):
+            ref = np.asarray(
+                wideband_energy_packed(
+                    jnp.asarray(planes[i, :, 0]),
+                    jnp.asarray(planes[i, :, 1]),
+                    taps,
+                    cfg,
+                )
+            )
+            np.testing.assert_allclose(got[i], ref, rtol=2e-3, atol=1e-5)
+
+    def test_batched_avoids_channelizer(self, rng, monkeypatch):
+        """The materializing channelizer must NOT be called for the
+        batched divisible case."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        import cognitive_radio_network_tpu.parallel.wideband as wb
+
+        cfg = wb.WidebandConfig(num_channels=16, taps_per_channel=8, block_len=8)
+        taps = jnp.asarray(cfg.taps())
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "time"))
+        called = []
+        monkeypatch.setattr(
+            wb,
+            "sharded_channelize",
+            lambda *a, **k: called.append(1) or (_ for _ in ()).throw(
+                AssertionError("channelizer fallback used")
+            ),
+        )
+        planes = rng.standard_normal((4, 64 * 16, 2)).astype(np.float32)
+        wb.wideband_sense(jnp.asarray(planes), taps, mesh, cfg, batch_axis="data")
+        assert not called

@@ -208,3 +208,66 @@ class TestShardedLink:
             assert a["offset"] == b["offset"]
             np.testing.assert_array_equal(a["payload"], b["payload"])
             np.testing.assert_array_equal(a["header"], b["header"])
+
+    def test_decode_stage_per_device_memory_shrinks_with_mesh(self, rng):
+        """Round-3 review item: the adaptive receiver's decode stage must
+        consume the SHARDED stream, not a replicated full buffer.  Trace
+        the shard_map avals of both dispatches on 2- and 4-device meshes
+        at the same stream length: every per-shard stream operand must be
+        n/d-sized (so per-device memory shrinks with mesh size), and the
+        only full-size decode arrays are the (G, frame_len) windows."""
+        from cognitive_radio_network_tpu.phy.framegen import OFDMFrameConfig, gen_for
+
+        cfg = OFDMFrameConfig()
+        gen = gen_for(cfg, 48)
+        outs = {}
+        stream, offs, hdrs, pays = _straddling_stream(rng, gen, n_shards=8)
+        for d in (2, 4):
+            mesh = Mesh(np.array(jax.devices()[:d]).reshape(d), ("time",))
+            # bucketed shard lengths can place ~9 of the 15 frames in one
+            # shard: k_per_shard must cover that
+            rx = ShardedStreamReceiver(cfg, mesh, k_per_shard=16)
+            frames = rx.receive(stream, threshold=0.2)
+            assert len(frames) == len(offs)
+            outs[d] = frames
+            n = len(stream)
+            shard_len = next(iter(rx._scan_cache))
+            # per-shard stream length shrinks with the mesh: bucketed n/d
+            assert shard_len < n, (d, shard_len, n)
+            assert shard_len * d <= 1.25 * n + d  # eighth-octave bucket bound
+            # introspect the DECODE shard_map: its per-shard stream avals
+            # must be shard-sized, and no operand may be full-stream-sized
+            # except none (windows are (G, flen))
+            (ck, fn), = rx._decode_cache.items()
+            _key, s_len, gpad = ck
+            offs_a = jnp.zeros(gpad, jnp.int32)
+            cfs_a = jnp.zeros(gpad, jnp.float32)
+            rr = jnp.zeros(d * s_len, jnp.float32)
+            jaxpr = jax.make_jaxpr(fn)(rr, rr, offs_a, cfs_a)
+            def _find_shard_map(jx):
+                for e in jx.eqns:
+                    if e.primitive.name == "shard_map":
+                        return e.params["jaxpr"]
+                    for v in e.params.values():
+                        inner_jx = getattr(v, "jaxpr", None)
+                        if inner_jx is not None:
+                            r = _find_shard_map(inner_jx)
+                            if r is not None:
+                                return r
+                return None
+            inner = _find_shard_map(jaxpr.jaxpr)
+            assert inner is not None, jaxpr.pretty_print()
+            stream_avals = [
+                v.aval.shape for v in inner.invars if v.aval.ndim == 1
+                and v.aval.shape[0] not in (gpad,)
+            ]
+            assert (s_len,) in stream_avals, stream_avals
+            for shp in [v.aval.shape for v in inner.invars]:
+                flat = int(np.prod(shp)) if shp else 1
+                assert flat <= max(s_len, gpad * gen.frame_len), (
+                    shp, s_len, gpad, gen.frame_len,
+                )
+        # decodes agree across mesh sizes (and with the stream content)
+        for f2, f4 in zip(outs[2], outs[4]):
+            assert f2["offset"] == f4["offset"]
+            np.testing.assert_array_equal(f2["payload"], f4["payload"])

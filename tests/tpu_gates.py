@@ -1,0 +1,234 @@
+"""On-hardware correctness gates, shared by bench.py and `pytest -m tpu`.
+
+Each gate runs a hot kernel ON THE AMBIENT BACKEND (the real TPU when run
+un-pinned) and asserts its output against an independent numpy oracle.
+Interpreter-mode unit tests cannot catch a Mosaic/XLA lowering bug on real
+hardware; these gates make hardware correctness a first-class check — the
+bench imports the same helpers so a lowering bug aborts the benchmark
+instead of shipping a throughput number.
+
+Run standalone:  CRN_TPU_TESTS=1 timeout 550 python -m pytest -m tpu -q
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def wideband_energy_numpy(xr, xi, taps, cfg):
+    """Independent numpy transliteration of the wideband energy math
+    (polyphase depthwise FIR -> M-point DFT -> per-cycle mean power), the
+    on-TPU oracle for the fused Pallas kernel (ops/fused_wideband.py)."""
+    m = cfg.num_channels
+    t = xr.size // m
+    vr_in, vi_in = xr.reshape(t, m), xi.reshape(t, m)
+    hf = taps[::-1].astype(np.float64)  # (P, M), flipped like _fir_rows
+    p = hf.shape[0]
+    ext_r = np.concatenate([np.zeros((p - 1, m)), vr_in], axis=0)
+    ext_i = np.concatenate([np.zeros((p - 1, m)), vi_in], axis=0)
+    vr = np.zeros((t, m))
+    vi = np.zeros((t, m))
+    for s in range(p):
+        vr += hf[s] * ext_r[s : s + t]
+        vi += hf[s] * ext_i[s : s + t]
+    ang = -2.0 * np.pi * np.outer(np.arange(m), np.arange(m)) / m
+    wre, wim = np.cos(ang), np.sin(ang)
+    yr = vr @ wre - vi @ wim
+    yi = vr @ wim + vi @ wre
+    power = yr**2 + yi**2
+    return power.reshape(t // cfg.block_len, cfg.block_len, m).mean(axis=1)
+
+
+def gate_fused_sense(rng=None) -> None:
+    """Fused sense->classify chain (ops/fused_sense_ct.py Pallas FFT +
+    band energies + MLP) vs the golden scalar transliteration
+    (tests/golden_reference.py) on a synthesized PU scene: features to
+    5e-3, MLP outputs to 2e-3, decisions bit-equal."""
+    import jax
+    import jax.numpy as jnp
+
+    import golden_reference as gold
+    from cognitive_radio_network_tpu.env import scene as scene_mod
+    from cognitive_radio_network_tpu.models import SenseConfig, make_sense_fn
+    from cognitive_radio_network_tpu.signal.mlp import reference_weights
+
+    rng = rng or np.random.default_rng(0)
+    cfg = SenseConfig()
+    fn = make_sense_fn(cfg)
+    params = reference_weights()
+    gc = 16
+    gtrace = jnp.asarray(rng.integers(0, 3, size=gc), jnp.int32)
+    gpow = scene_mod.occupancy_to_powers(gtrace, 3, power=0.05)
+    g_planes = jax.jit(
+        scene_mod.synthesize_scene,
+        static_argnums=(2,),
+        static_argnames=("as_planes",),
+    )(jax.random.key(7), gpow, cfg.samples_per_cycle, as_planes=True)
+    g_np = np.asarray(g_planes).reshape(gc, cfg.averaging, cfg.fft_length, 2)
+    g_out = fn(
+        (
+            jnp.asarray(g_np[..., 0].reshape(-1, cfg.fft_length)),
+            jnp.asarray(g_np[..., 1].reshape(-1, cfg.fft_length)),
+        ),
+        params,
+    )
+    g_out = {k: np.asarray(v) for k, v in g_out.items()}
+    feats_ref, outs_ref, decs_ref = gold.sense_classify_reference(
+        g_np[..., 0] + 1j * g_np[..., 1]
+    )
+    np.testing.assert_allclose(g_out["features"], feats_ref, rtol=5e-3)
+    np.testing.assert_allclose(g_out["outputs"], outs_ref, atol=2e-3)
+    assert np.array_equal(g_out["decision"], decs_ref), (
+        "on-TPU sense decisions diverge from the golden reference"
+    )
+
+
+def gate_fused_wideband(rng=None) -> None:
+    """Fused wideband Pallas kernel vs :func:`wideband_energy_numpy` on a
+    one-tile slice (bf16_3x precision -> rtol 2e-3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cognitive_radio_network_tpu.ops.fused_wideband import (
+        wideband_energy_fused,
+    )
+    from cognitive_radio_network_tpu.parallel.wideband import WidebandConfig
+    from cognitive_radio_network_tpu.signal.channelizer import polyphase_taps
+
+    rng = rng or np.random.default_rng(0)
+    wcfg = WidebandConfig()
+    wtaps = jnp.asarray(polyphase_taps(wcfg.num_channels, wcfg.taps_per_channel))
+    wfn = jax.jit(
+        lambda a, b: wideband_energy_fused(a, b, wtaps, wcfg, precision="high")
+    )
+    gt = 4096  # one (2M x tile_q) kernel tile
+    gwr = np.asarray(rng.standard_normal(gt * wcfg.num_channels), np.float32)
+    gwi = np.asarray(rng.standard_normal(gt * wcfg.num_channels), np.float32)
+    g_got = np.asarray(wfn(jnp.asarray(gwr), jnp.asarray(gwi)))
+    np.testing.assert_allclose(
+        g_got,
+        wideband_energy_numpy(gwr, gwi, np.asarray(wtaps), wcfg),
+        rtol=2e-3,
+        atol=1e-5,
+        err_msg="on-TPU fused wideband energies diverge from the numpy oracle",
+    )
+
+
+def gate_ofdm_decode(rng=None):
+    """One-dispatch fixed-config OFDM block receive decodes every frame of
+    a synthetic burst with payloads intact.  Returns the device-resident
+    block (rr, ri, n_valid, rx_fn, F, n_link) so the bench can reuse it."""
+    import jax.numpy as jnp
+
+    from cognitive_radio_network_tpu.phy import (
+        OFDMFrameConfig,
+        OFDMFrameGen,
+        OFDMFrameSync,
+    )
+
+    rng = rng or np.random.default_rng(0)
+    ocfg = OFDMFrameConfig()  # ECR defaults: 32sc/cp16/qam4/crc32/h128
+    opay = 256  # reference packet size (include/crts.hpp:192-194)
+    ogen = OFDMFrameGen(ocfg, opay)
+    osync = OFDMFrameSync(ocfg, opay)
+    F = 256
+    gap = 80
+    ohdr = rng.integers(0, 256, (F, 8)).astype(np.uint8)
+    opays = rng.integers(0, 256, (F, opay)).astype(np.uint8)
+    fr = np.asarray(ogen.assemble(ohdr, opays, as_planes=True))  # (F, L, 2)
+    flen = fr.shape[1]
+    n_link = F * (flen + gap)
+    orr = np.zeros(n_link, np.float32)
+    ori = np.zeros(n_link, np.float32)
+    for i in range(F):
+        s = i * (flen + gap)
+        orr[s : s + flen] = fr[i, :, 0]
+        ori[s : s + flen] = fr[i, :, 1]
+    orr_d, ori_d = jnp.asarray(orr), jnp.asarray(ori)
+    nvalid_d = jnp.int32(n_link)
+    rxfn = osync.rx_block_fn(k=F)
+    bests, peaks, cfos, oout, ok = rxfn(orr_d, ori_d, nvalid_d)
+    okh = np.asarray(ok)
+    order = np.argsort(np.asarray(bests), kind="stable")
+    got = np.asarray(oout["payloads"])[order][okh[order]]
+    assert okh.sum() == F and np.array_equal(got, opays), (
+        "ofdm link decode failed"
+    )
+    return orr_d, ori_d, nvalid_d, rxfn, F, n_link
+
+
+def wideband_energy_numpy_with_history(xr, xi, hist_r, hist_i, taps, cfg):
+    """History-seeded transliteration: the FIR's first P-1 delay rows come
+    from the preceding stream (the 4 pair rows = 8 phase rows the sharded
+    pipeline ppermutes between neighbors) instead of rest-from-zero."""
+    m = cfg.num_channels
+    pre_r = hist_r.reshape(8, m).astype(np.float64)  # pair rows -> phase rows
+    pre_i = hist_i.reshape(8, m).astype(np.float64)
+    t = xr.size // m
+    vr_in, vi_in = xr.reshape(t, m), xi.reshape(t, m)
+    hf = taps[::-1].astype(np.float64)
+    p = hf.shape[0]
+    ext_r = np.concatenate([pre_r[-(p - 1) :], vr_in], axis=0)
+    ext_i = np.concatenate([pre_i[-(p - 1) :], vi_in], axis=0)
+    vr = np.zeros((t, m))
+    vi = np.zeros((t, m))
+    for s_ in range(p):
+        vr += hf[s_] * ext_r[s_ : s_ + t]
+        vi += hf[s_] * ext_i[s_ : s_ + t]
+    ang = -2.0 * np.pi * np.outer(np.arange(m), np.arange(m)) / m
+    wre, wim = np.cos(ang), np.sin(ang)
+    yr = vr @ wre - vi @ wim
+    yi = vr @ wim + vi @ wre
+    power = yr**2 + yi**2
+    return power.reshape(t // cfg.block_len, cfg.block_len, m).mean(axis=1)
+
+
+def gate_sharded_wideband_history(rng=None) -> None:
+    """The fused wideband kernel's ``initial_history`` path ON HARDWARE:
+    a nonzero 4-pair-row FIR seed (the cross-shard ppermute state of
+    parallel/wideband.py::sharded_wideband_energy_fused) must match the
+    history-seeded numpy transliteration — round-3 review noted this path
+    had only ever executed in interpret mode on CPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from cognitive_radio_network_tpu.ops.fused_wideband import (
+        wideband_energy_fused,
+    )
+    from cognitive_radio_network_tpu.parallel.wideband import WidebandConfig
+    from cognitive_radio_network_tpu.signal.channelizer import polyphase_taps
+
+    rng = rng or np.random.default_rng(1)
+    wcfg = WidebandConfig()
+    m = wcfg.num_channels
+    taps = np.asarray(polyphase_taps(m, wcfg.taps_per_channel), np.float32)
+    t_chan = 4096  # one kernel tile
+    body_r = np.asarray(rng.standard_normal(t_chan * m), np.float32)
+    body_i = np.asarray(rng.standard_normal(t_chan * m), np.float32)
+    # the history exactly as the sharded pipeline builds it: the previous
+    # shard's last 4 PAIR rows of its (q, 2M) pair layout
+    hist_r = np.asarray(rng.standard_normal((4, 2 * m)), np.float32)
+    hist_i = np.asarray(rng.standard_normal((4, 2 * m)), np.float32)
+    fn = jax.jit(
+        lambda a, b, hr, hi: wideband_energy_fused(
+            a, b, taps, wcfg, precision="high", initial_history=(hr, hi)
+        )
+    )
+    got = np.asarray(
+        fn(
+            jnp.asarray(body_r),
+            jnp.asarray(body_i),
+            jnp.asarray(hist_r),
+            jnp.asarray(hist_i),
+        )
+    )
+    ref = wideband_energy_numpy_with_history(
+        body_r, body_i, hist_r, hist_i, taps, wcfg
+    )
+    np.testing.assert_allclose(
+        got,
+        ref,
+        rtol=2e-3,
+        atol=1e-5,
+        err_msg="history-seeded fused wideband diverges on hardware",
+    )
