@@ -55,6 +55,17 @@ class CEPredictiveNode(CognitiveEngine):
                 self.cfg, feature_transform=meta["feature_transform"]
             )
         self._sense_fn = make_sense_fn(self.cfg)
+        # sensing-only mode (default): stop the frame synchronizer while
+        # this engine senses — the reference carries exactly this line,
+        # commented, with the note that stopping rx relates to forwarding
+        # samples to the CE (CE_Predictive_Node.cpp:136
+        # ``//ECR->stop_rx(); /*stopping rx enables forwarding samples to
+        # CE*/``), and the predictive SU never expects PHY frames (the PU
+        # transmits at an incompatible rate).  ``--keep-framesync`` in
+        # ce_args restores the reference's literal keep-rx-running
+        # behavior (identical decisions either way; frame scanning on an
+        # undecodable stream is pure cost).
+        self.sense_only = "--keep-framesync" not in (args or [])
         self.configured = False
         self.next_sense_t = 0.0
         self.collecting = False
@@ -70,6 +81,8 @@ class CEPredictiveNode(CognitiveEngine):
             r.set_rx_freq(self.desired_fc)
             r.set_rx_rate(self.desired_bw)
             r.set_ce_usrp_rx_buffer_length(self.cfg.fft_length)
+            if self.sense_only:
+                r.stop_rx()  # CE_Predictive_Node.cpp:136 (see __init__)
             self.configured = True
             self.next_sense_t = t
 

@@ -31,6 +31,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from cognitive_radio_network_tpu.utils.platform import effective_platform
+
 from cognitive_radio_network_tpu.signal import bands as bands_mod
 from cognitive_radio_network_tpu.signal import detector as det
 from cognitive_radio_network_tpu.signal import fft as fft_mod
@@ -99,7 +101,7 @@ def sense_classify(
         use_fused = (
             cfg.fft_mode == "ct_matmul"
             and n == 512
-            and jax.default_backend() not in ("cpu", "gpu")
+            and effective_platform() not in ("cpu", "gpu")
         )
     if use_fused:
         from cognitive_radio_network_tpu.ops.fused_sense_ct import fused_sense_ct

@@ -167,6 +167,11 @@ def _extract_fallback(rr, ri, offsets, wlen: int):
 def extract_windows(rr, ri, offsets, wlen: int):
     """rr/ri (N,) f32 + offsets (K,) int -> ((K, wlen), (K, wlen)) with row k
     = plane[offset_k : offset_k + wlen] (offsets clipped to [0, N - wlen])."""
-    if jax.default_backend() == "tpu":
+    from cognitive_radio_network_tpu.utils.platform import effective_platform
+
+    # effective_platform, not default_backend: inside a default_device(cpu)
+    # context (phy_placement="host") the process backend still says "tpu"
+    # but the kernel would launch on the CPU device and fail
+    if effective_platform() == "tpu":
         return _extract_tpu(rr, ri, offsets, wlen)
     return _extract_fallback(rr, ri, offsets, wlen)

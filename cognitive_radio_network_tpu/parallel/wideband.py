@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cognitive_radio_network_tpu.parallel.halo import sharded_channelize
 from cognitive_radio_network_tpu.signal.channelizer import polyphase_taps
 from cognitive_radio_network_tpu.signal.iq import planes_abs2
+from cognitive_radio_network_tpu.utils.platform import effective_platform
 
 __all__ = [
     "WidebandConfig",
@@ -102,7 +103,7 @@ def wideband_sense(
                 and (t_total // d) % 2 == 0
             )
             if use_fused is None:
-                use_fused = fused_ok and jax.default_backend() not in (
+                use_fused = fused_ok and effective_platform() not in (
                     "cpu",
                     "gpu",
                 )

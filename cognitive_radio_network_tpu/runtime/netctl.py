@@ -504,10 +504,18 @@ class NetController:
                 send_pool = ThreadPoolExecutor(min(len(self.conns), 8))
             last_sc_t = 0.0
             wall_start = time.monotonic()
-            wall_first = None  # end of step 0 (nodes compile inside step 0)
+            # steady-state window: from a quarter into the run (node
+            # processes trace/lower/compile their graphs lazily over the
+            # first steps; excluding only step 0 under-counted that)
+            k0 = max(num_steps // 4, 1)
+            wall_k0 = None
+            t_k0 = 0.0
             for step in range(num_steps):
                 if self.terminated:
                     break
+                if step == k0:
+                    wall_k0 = time.monotonic()
+                    t_k0 = self.t
                 step_ms = int(cfg.net_step_timeout_s * 1e3)
                 contributions: list[np.ndarray | None] = [None] * len(self.conns)
                 for i, conn in enumerate(self.conns):
@@ -550,8 +558,6 @@ class NetController:
                     for conn, block in zip(self.conns, blocks):
                         _send_block(conn, Msg.RX_BLOCK, step, block)
                 self.t += self.mcfg.block_dt
-                if wall_first is None:
-                    wall_first = time.monotonic()
                 if (self.t - last_sc_t) * 1e3 >= self.sc.sc_timeout_ms:
                     self.sc.timeout()
                     last_sc_t = self.t
@@ -560,14 +566,13 @@ class NetController:
                     and time.monotonic() - wall_start > cfg.max_wall_time_s
                 ):
                     self.terminated = True
-            # wall-clock accounting for realtime-factor benchmarks: the full
-            # lockstep loop, plus a steady-state view excluding step 0 (node
-            # processes jit-compile their PHY/engine graphs inside it)
+            # wall-clock accounting for realtime-factor benchmarks: the
+            # full lockstep loop, plus the steady-state window above
             self.wall_time_s = time.monotonic() - wall_start
             self.steady_wall_time_s = (
-                time.monotonic() - wall_first if wall_first is not None else 0.0
+                time.monotonic() - wall_k0 if wall_k0 is not None else 0.0
             )
-            self.steady_t = max(self.t - self.mcfg.block_dt, 0.0)
+            self.steady_t = max(self.t - t_k0, 0.0) if wall_k0 is not None else 0.0
             # termination + summary collection (:958-967 node side)
             for conn in self.conns:
                 try:
@@ -808,7 +813,11 @@ def _run_node_client_inner(
         # same step count as the controller (and as ScenarioRuntime's
         # `while t < run_time`), so traffic accounting is identical
         num_steps = math.ceil(cfg.run_time / mcfg.block_dt - 1e-9)
-        cpu_t0 = time.process_time()  # lockstep-loop CPU accounting
+        # steady-window CPU accounting (same quarter-run window as the
+        # controller's steady wall clock)
+        cpu_k0_step = max(num_steps // 4, 1)
+        cpu_t0 = time.process_time()
+        cpu_sim_t0 = 0.0
 
         # Pipelined lockstep (ScenarioConfig.net_pipeline): the serial loop
         # is [produce tx N -> send -> wait -> process rx N] with every stage
@@ -861,6 +870,9 @@ def _run_node_client_inner(
         prev = None  # (rx block, t) received last step, not yet processed
         try:
             while not terminated and step < num_steps:
+                if step == cpu_k0_step:
+                    cpu_t0 = time.process_time()
+                    cpu_sim_t0 = t
                 contribution = pending if pending is not None else produce(t)
                 pending = None
                 _send_block(conn, Msg.TX_BLOCK, step, contribution)
@@ -935,7 +947,7 @@ def _run_node_client_inner(
                 "frames": len(st.records),
                 "valid": sum(1 for r in st.records if r.valid),
                 "cpu_time_s": cpu_time_s,
-                "sim_time_s": t,
+                "sim_time_s": t - cpu_sim_t0,
             }
         else:
             summary = {
@@ -944,7 +956,7 @@ def _run_node_client_inner(
                 "frames": 0,
                 "valid": 0,
                 "cpu_time_s": cpu_time_s,
-                "sim_time_s": t,
+                "sim_time_s": t - cpu_sim_t0,
             }
         conn.send(Msg.SUMMARY, _json(summary))
         return 0

@@ -227,3 +227,61 @@ class TestBEROracle:
         known = msequence_bytes(256)
         ber = np.unpackbits(pay[0] ^ known).mean()
         assert ber == 0.0
+
+
+class TestDeviceResidentStreaming:
+    """process_device must bit-match process on the same stream, including
+    frames straddling block boundaries and mixed per-frame configs, while
+    keeping the residual carry on device."""
+
+    def test_matches_host_process_across_blocks(self, rng):
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from cognitive_radio_network_tpu.phy.framegen import (
+            OFDMFrameConfig,
+            OFDMFrameGen,
+        )
+        from cognitive_radio_network_tpu.phy.framesync import StreamReceiver
+
+        cfg_a = OFDMFrameConfig()
+        cfg_b = dc.replace(cfg_a, mod_scheme="qam16", fec0="none")
+        gen_a = OFDMFrameGen(cfg_a, 48)
+        gen_b = OFDMFrameGen(cfg_b, 40)
+        f = 6
+        ha = rng.integers(0, 256, (f, 8)).astype(np.uint8)
+        pa = rng.integers(0, 256, (f, 48)).astype(np.uint8)
+        hb = rng.integers(0, 256, (f, 8)).astype(np.uint8)
+        pb = rng.integers(0, 256, (f, 40)).astype(np.uint8)
+        ia = np.asarray(gen_a.assemble(ha, pa))
+        ib = np.asarray(gen_b.assemble(hb, pb))
+        n = 14000
+        stream = 0.003 * (
+            rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        ).astype(np.complex64)
+        pos, k = 50, 0
+        placed = 0
+        while k < f and pos + max(ia.shape[1], ib.shape[1]) < n:
+            frame = ia[k] if k % 2 == 0 else ib[k]
+            stream[pos : pos + len(frame)] += frame
+            pos += len(frame) + 997  # blocks of 1536 -> straddlers galore
+            placed += 1
+            k += 1
+        host_rx = StreamReceiver(cfg_a, max_frames_per_block=8)
+        dev_rx = StreamReceiver(cfg_a, max_frames_per_block=8)
+        blk = 1536
+        host_frames, dev_frames = [], []
+        for s in range(0, n, blk):
+            seg = stream[s : s + blk]
+            host_frames += host_rx.process(seg)
+            dev_frames += dev_rx.process_device(
+                jnp.asarray(seg.real), jnp.asarray(seg.imag)
+            )
+        assert len(host_frames) == placed
+        assert len(dev_frames) == len(host_frames)
+        for hf, df in zip(host_frames, dev_frames):
+            assert hf["offset"] == df["offset"]
+            np.testing.assert_array_equal(hf["payload"], df["payload"])
+            np.testing.assert_array_equal(hf["header"], df["header"])
+            assert hf["stats"].mod_scheme == df["stats"].mod_scheme

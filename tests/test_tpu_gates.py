@@ -36,3 +36,26 @@ class TestOnChipGates:
 
     def test_fused_wideband_history_seed(self):
         tpu_gates.gate_sharded_wideband_history(np.random.default_rng(1))
+
+    def test_scenario_nodes_survive_ambient_backend(self):
+        """Round-4 regression: under the ambient TPU backend, the scenario
+        runtime's phy_placement="host" context must route kernel selection
+        to the CPU device (utils/platform.effective_platform) — with
+        backend-keyed selection, every node died at t=0 with "Only
+        interpret mode is supported on CPU backend" and the realtime
+        factor silently measured an empty scenario."""
+        from pathlib import Path
+
+        from cognitive_radio_network_tpu.runtime.config import load_scenario
+        from cognitive_radio_network_tpu.runtime.controller import (
+            ScenarioRuntime,
+        )
+
+        cfg = load_scenario(
+            Path(__file__).parent.parent / "scenarios" / "predictive_model.cfg"
+        )
+        cfg.run_time = 0.4
+        rt = ScenarioRuntime(cfg)
+        rt.run()
+        assert not rt.failed_nodes, rt.failed_nodes
+        assert len(getattr(rt.nodes[1].engine, "decisions", [])) > 0
