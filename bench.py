@@ -349,7 +349,7 @@ def main() -> None:
     wrt.run()
     assert not wrt.failed_nodes, f"scenario nodes failed: {wrt.failed_nodes}"
     scfg = load_scenario(scn)
-    scfg.run_time = 4.0
+    scfg.run_time = 12.0
     srt = ScenarioRuntime(scfg)
     srt.run()
     # correctness gates: no node may have died (a dead node makes the
@@ -358,7 +358,7 @@ def main() -> None:
     assert not srt.failed_nodes, f"scenario nodes failed: {srt.failed_nodes}"
     su_decisions = getattr(srt.nodes[1].engine, "decisions", [])
     assert len(su_decisions) > 0, "predictive SU made no decisions"
-    realtime_factor = scfg.run_time / max(srt.wall_time_s, 1e-9)
+    realtime_factor = srt.steady_t / max(srt.steady_wall_time_s, 1e-9)
 
     # Distributed (netctl) mode: the reference's ACTUAL topology — a
     # controller process + one OS process per node, lockstep medium blocks

@@ -54,6 +54,15 @@ class CEPredictiveNode(CognitiveEngine):
             self.cfg = _dc.replace(
                 self.cfg, feature_transform=meta["feature_transform"]
             )
+        # params stay HOST numpy: the engine is constructed outside the
+        # scenario's phy-placement context, so jax-array params would
+        # commit to the ambient (TPU) device and every sense call would
+        # fetch them across the interconnect — measured 110 ms per
+        # 100 ms-cadence classify, i.e. the whole sensing budget — while
+        # numpy params follow the active device for free
+        import jax as _jax
+
+        self.params = _jax.tree.map(np.asarray, self.params)
         self._sense_fn = make_sense_fn(self.cfg)
         # sensing-only mode (default): stop the frame synchronizer while
         # this engine senses — the reference carries exactly this line,

@@ -199,7 +199,16 @@ class ScenarioRuntime:
             with phy_placement_ctx(self.cfg.phy_placement):
                 self.start()
                 wall_start = _time.monotonic()
+                # steady-state window: from a quarter into the run (jit
+                # graphs trace/lower/compile lazily over the first steps —
+                # same accounting as NetController)
+                t_q = self.cfg.run_time / 4.0
+                wall_q = None
+                t_k0 = 0.0
                 while self.t < self.cfg.run_time and not self.terminated:
+                    if wall_q is None and self.t >= t_q:
+                        wall_q = _time.monotonic()
+                        t_k0 = self.t
                     self.step()
                     if (
                         self.cfg.max_wall_time_s is not None
@@ -208,6 +217,10 @@ class ScenarioRuntime:
                         # forceful termination (crts_controller.cpp:556-577 analog)
                         self.terminated = True
                 self.wall_time_s = _time.monotonic() - wall_start
+                self.steady_wall_time_s = (
+                    _time.monotonic() - wall_q if wall_q is not None else 0.0
+                )
+                self.steady_t = self.t - t_k0 if wall_q is not None else 0.0
         finally:
             self.log.flush()  # persist spill logs even on abnormal exit
         bytes_sent, bytes_rcvd, frames, valid = [], [], [], []
