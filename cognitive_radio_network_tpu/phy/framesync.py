@@ -256,7 +256,11 @@ def _refine(rr, ri, metric, p, half, coarses, tmpl, n_valid, m):
     from cognitive_radio_network_tpu.ops.extract import extract_windows
 
     tlen = tmpl.shape[0]
-    span = 2 * m
+    # +-m around the coarse peak: the box-smoothed S&C plateau maximum sits
+    # within ~cp+half (< m/2) of the true start, so m keeps >2x slack —
+    # the previous +-2m doubled the refinement einsum (the scan's dominant
+    # FLOPs at radio block sizes) for coverage that was never used
+    span = m
     s_count = 2 * span + 1
     wlen = s_count - 1 + tlen
     cfo0 = jnp.angle(p[jnp.clip(coarses, 0, p.shape[0] - 1)]) / half  # (K,)
