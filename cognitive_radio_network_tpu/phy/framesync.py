@@ -245,7 +245,7 @@ def _sc_metric(r: jax.Array, n_valid: jax.Array, m: int):
     return metric, p, half
 
 
-def _refine(rr, ri, metric, p, half, coarses, tmpl, n_valid, m):
+def _refine(rr, ri, metric, p, half, coarses, tmpl, n_valid, m, cp=None):
     """CFO-corrected matched-filter timing refinement, vectorized over K
     coarse candidates.  The S&C metric plateaus (|P| and R shrink together
     during partial overlap), so snap to the known 2x-S0 template.
@@ -256,11 +256,11 @@ def _refine(rr, ri, metric, p, half, coarses, tmpl, n_valid, m):
     from cognitive_radio_network_tpu.ops.extract import extract_windows
 
     tlen = tmpl.shape[0]
-    # +-m around the coarse peak: the box-smoothed S&C plateau maximum sits
-    # within ~cp+half (< m/2) of the true start, so m keeps >2x slack —
-    # the previous +-2m doubled the refinement einsum (the scan's dominant
-    # FLOPs at radio block sizes) for coverage that was never used
-    span = m
+    # the box-smoothed S&C plateau maximum sits within ~cp + half of the
+    # true start, so cp + m covers it with >= m/2 slack for any cp — the
+    # previous blanket +-2m nearly doubled the refinement einsum (the
+    # scan's dominant FLOPs at radio block sizes) whenever cp < m
+    span = (cp if cp is not None else m) + m
     s_count = 2 * span + 1
     wlen = s_count - 1 + tlen
     cfo0 = jnp.angle(p[jnp.clip(coarses, 0, p.shape[0] - 1)]) / half  # (K,)
@@ -302,7 +302,7 @@ def _detect_core(rr: jax.Array, ri: jax.Array, n_valid: jax.Array,
     return peak[0], best[0], cfo[0]
 
 
-def _topk_core(rr, ri, metric, p, half, tmpl, n_valid, m, k: int):
+def _topk_core(rr, ri, metric, p, half, tmpl, n_valid, m, k: int, cp=None):
     """Top-K candidate detection, fully parallel (no sequential argmax
     loop, so K can be large): windowed local maxima (window 2m, which
     suppresses one frame's metric plateau — distinct frames are
@@ -322,7 +322,7 @@ def _topk_core(rr, ri, metric, p, half, tmpl, n_valid, m, k: int):
     keff = min(k, nwin)
     _topv, topi = jax.lax.top_k(vals, keff)
     coarses = warg[topi]
-    return _refine(rr, ri, metric, p, half, coarses, tmpl, n_valid, m)
+    return _refine(rr, ri, metric, p, half, coarses, tmpl, n_valid, m, cp=cp)
 
 
 @functools.lru_cache(maxsize=64)
@@ -549,7 +549,9 @@ def _receive_block_graph(gen: OFDMFrameGen, rr, ri, n_valid, *, k: int):
     r = rr + 1j * ri
     tmpl = jnp.asarray(tmpl_np.real) + 1j * jnp.asarray(tmpl_np.imag)
     metric, p, half = _sc_metric(r, n_valid, m)
-    bests, peaks, cfos = _topk_core(rr, ri, metric, p, half, tmpl, n_valid, m, k)
+    bests, peaks, cfos = _topk_core(
+        rr, ri, metric, p, half, tmpl, n_valid, m, k, cp=gen.cfg.cp_len
+    )
     out = _rx_at_graph(gen, rr, ri, bests, cfos)
     ok = out["hdr_ok"] & (bests + gen.frame_len <= n_valid)
     return bests, peaks, cfos, out, ok
@@ -569,7 +571,9 @@ def _scan_block_graph(layout: OFDMFrameGen, rr, ri, n_valid, *, k: int):
     r = rr + 1j * ri
     tmpl = jnp.asarray(tmpl_np.real) + 1j * jnp.asarray(tmpl_np.imag)
     metric, p, half = _sc_metric(r, n_valid, m)
-    bests, peaks, cfos = _topk_core(rr, ri, metric, p, half, tmpl, n_valid, m, k)
+    bests, peaks, cfos = _topk_core(
+        rr, ri, metric, p, half, tmpl, n_valid, m, k, cp=layout.cfg.cp_len
+    )
     pref = (
         2 * m
         + (m + layout.cfg.cp_len)

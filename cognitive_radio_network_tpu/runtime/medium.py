@@ -54,52 +54,93 @@ class Medium:
         blocks; ``None`` where a receiver hears no active transmitter
         (noise is receiver-referred, see module docstring).
 
-        Fast path: when every nonzero gain equals one constant g (the
-        default all-ones-off-diagonal matrix, and each cell of a celled
-        matrix), receiver i hears g*(total - own_i) — one O(N*block) sum
-        instead of the O(N^2*block) mix GEMM, which dominated controller
-        cost at 8+ nodes.  The general matrix falls back to one BLAS
+        Fast path: when the gain matrix decomposes into isolated CELLS
+        whose off-diagonal entries all equal one constant g_c (the default
+        all-ones matrix is the one-cell case; the celled matrices of
+        frequency-reuse deployments are the general one), receiver i in
+        cell c hears g_c*(total_c - own_i) — one O(N*block) sum instead of
+        the O(N^2*block) mix GEMM, which dominated controller cost at 8+
+        nodes.  Per-sample error of the subtraction is bounded by
+        eps_f32 * |own| ~ -138 dB relative to the receiver's own transmit
+        amplitude — negligible against any link that can decode at all.
+        Matrices with non-uniform in-cell gains fall back to one BLAS
         matmul for the whole N-to-N mix."""
         active = [j for j, c in enumerate(contributions) if c is not None]
         if not active:
             return [None] * self.num_nodes
+        cells = self._gain_cells()
+        if cells is not None:
+            active_set = set(active)
+            out: list[np.ndarray | None] = [None] * self.num_nodes
+            for members, g_c in cells:
+                act = [j for j in members if j in active_set]
+                if not act or g_c == 0.0:
+                    continue
+                total = contributions[act[0]].astype(np.complex64).copy()
+                for j in act[1:]:
+                    total += contributions[j]
+                if g_c != 1.0:
+                    total = total * np.float32(g_c)
+                for i in members:
+                    others = len(act) - (1 if i in active_set else 0)
+                    if others <= 0:
+                        continue  # hears nothing but itself
+                    if contributions[i] is None:
+                        out[i] = total
+                    else:
+                        own = contributions[i].astype(np.complex64)
+                        out[i] = total - (
+                            np.float32(g_c) * own if g_c != 1.0 else own
+                        )
+            return out
         g = self.gains.T[:, active].astype(np.float32)  # (rx, n_active)
         heard = g.any(axis=1)
-        uni = self._uniform_gain()
-        if uni is not None and len(active) > 1:
-            total = contributions[active[0]].astype(np.complex64).copy()
-            for j in active[1:]:
-                total += contributions[j]
-            if uni != 1.0:
-                total *= np.float32(uni)
-            out: list[np.ndarray | None] = []
-            for i in range(self.num_nodes):
-                if not heard[i]:
-                    out.append(None)
-                elif contributions[i] is None:
-                    out.append(total)
-                else:
-                    own = contributions[i].astype(np.complex64)
-                    out.append(total - (np.float32(uni) * own if uni != 1.0 else own))
-            return out
         gc = g.astype(np.complex64)
         stack = np.stack([contributions[j] for j in active])
         sig = gc @ stack  # (rx, block)
         return [sig[i] if heard[i] else None for i in range(self.num_nodes)]
 
-    def _uniform_gain(self) -> float | None:
-        """The single off-diagonal gain value if the matrix is
-        ``g * (ones - I)`` (cached against the gains array identity)."""
-        cached = getattr(self, "_uni_cache", None)
-        if cached is not None and cached[0] is self.gains:
-            return cached[1]
+    def _gain_cells(self) -> list[tuple[np.ndarray, float]] | None:
+        """Cell decomposition of the gain matrix, or None when the matrix
+        is not celled-uniform: connected components of the nonzero-gain
+        graph whose off-diagonal entries within each component all equal
+        one constant.  Cached against the matrix CONTENT (shape + bytes),
+        not array identity — in-place edits of ``medium.gains`` must
+        invalidate the analysis."""
         gg = self.gains
-        off = ~np.eye(self.num_nodes, dtype=bool)
-        vals = gg[off]
-        uni: float | None = None
-        if self.num_nodes > 1 and np.all(vals == vals.flat[0]) and np.all(
-            np.diag(gg) == 0.0
-        ):
-            uni = float(vals.flat[0]) if vals.flat[0] != 0.0 else None
-        self._uni_cache = (gg, uni)
-        return uni
+        key = (gg.shape, gg.tobytes())
+        cached = getattr(self, "_cells_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        cells: list[tuple[np.ndarray, float]] | None = None
+        n = self.num_nodes
+        if n > 1 and np.all(np.diag(gg) == 0.0):
+            nz = (gg != 0) | (gg.T != 0)
+            comp = -np.ones(n, np.int64)
+            c = 0
+            for i in range(n):
+                if comp[i] >= 0:
+                    continue
+                stack = [i]
+                comp[i] = c
+                while stack:
+                    u = stack.pop()
+                    for v in np.flatnonzero(nz[u]):
+                        if comp[v] < 0:
+                            comp[v] = c
+                            stack.append(v)
+                c += 1
+            cells = []
+            for cc in range(c):
+                mem = np.flatnonzero(comp == cc)
+                if len(mem) == 1:
+                    cells.append((mem, 0.0))
+                    continue
+                sub = gg[np.ix_(mem, mem)]
+                vals = sub[~np.eye(len(mem), dtype=bool)]
+                if not np.all(vals == vals.flat[0]) or vals.flat[0] == 0.0:
+                    cells = None
+                    break
+                cells.append((mem, float(vals.flat[0])))
+        self._cells_cache = (key, cells)
+        return cells

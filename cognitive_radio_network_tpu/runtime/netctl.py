@@ -427,13 +427,19 @@ class NetController:
         pid = self._remote_pid(i)
         if pid is None or i >= len(self._ssh_hosts):
             return
-        subprocess.run(
-            [*self.ssh_cmd, self._ssh_hosts[i], f"kill -9 {pid}"],
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-            timeout=15,
-            check=False,
-        )
+        try:
+            subprocess.run(
+                [*self.ssh_cmd, self._ssh_hosts[i], f"kill -9 {pid}"],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+                timeout=15,
+                check=False,
+            )
+        except (subprocess.TimeoutExpired, OSError):
+            # cleanup path (finally): an unreachable/hung remote must not
+            # abort the kill loop for the remaining nodes or mask the
+            # original error
+            pass
 
     def _handle_feedback(self, payload: bytes) -> None:
         d = json.loads(payload)
@@ -866,14 +872,19 @@ def _run_node_client_inner(
             node.drain_rx_packets(tt)
             send_feedback(tt)
 
-        pending = None  # tx block produced speculatively for this step
+        # `pending` wraps the speculative block in a 1-tuple: a silent
+        # block is a legitimate (None) production — treating bare None as
+        # "no speculation" re-ran produce() and double-advanced the node's
+        # sample cursors on every silent block (interferer duty/dwell
+        # timelines ran 2x, tx mixer phase jumped)
+        pending: tuple | None = None
         prev = None  # (rx block, t) received last step, not yet processed
         try:
             while not terminated and step < num_steps:
                 if step == cpu_k0_step:
                     cpu_t0 = time.process_time()
                     cpu_sim_t0 = t
-                contribution = pending if pending is not None else produce(t)
+                contribution = pending[0] if pending is not None else produce(t)
                 pending = None
                 _send_block(conn, Msg.TX_BLOCK, step, contribution)
                 if prev is not None:
@@ -905,7 +916,7 @@ def _run_node_client_inner(
                         # control deterministically reaches the air one
                         # block later
                         if fut is not None:
-                            pending = fut.result()
+                            pending = (fut.result(),)
                             fut = None
                         c = json.loads(payload)
                         apply_node_control(
@@ -917,7 +928,7 @@ def _run_node_client_inner(
                         break
                 if fut is not None:
                     # join before the next iteration touches tx state
-                    pending = fut.result()
+                    pending = (fut.result(),)
                 if terminated:
                     break
                 if executor is None:
@@ -948,6 +959,7 @@ def _run_node_client_inner(
                 "valid": sum(1 for r in st.records if r.valid),
                 "cpu_time_s": cpu_time_s,
                 "sim_time_s": t - cpu_sim_t0,
+                "tx_samples": int(node.radio._tx_sample_cursor),
             }
         else:
             summary = {
@@ -957,6 +969,7 @@ def _run_node_client_inner(
                 "valid": 0,
                 "cpu_time_s": cpu_time_s,
                 "sim_time_s": t - cpu_sim_t0,
+                "tx_samples": int(getattr(node, "_cursor", 0)),
             }
         conn.send(Msg.SUMMARY, _json(summary))
         return 0

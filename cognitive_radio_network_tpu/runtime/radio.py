@@ -615,10 +615,16 @@ class Radio:
         self._rx_noise_floor = nf
         self._rx_blocks_seen += 1
         hot = bp > self.rx_squelch_ratio * nf + 1e-20
+        # the raw gate only skips GENUINELY silent blocks (no transmitter
+        # heard this step): a power-relative raw gate squelched in-band
+        # frames whenever a loud stable out-of-band carrier pinned the
+        # total power near the floor — level discrimination within the rx
+        # band is the in-band gate's job (below), measured after
+        # decimation where out-of-band energy is gone
         squelch = (
             self.rx_squelch_enabled
             and self._rx_blocks_seen > 4
-            and not hot
+            and block is None
             and not self._rx_hot_prev
         )
         self._rx_hot_prev = hot
@@ -712,9 +718,15 @@ class Radio:
             decoded_any = decoded_any or s.header_valid
         if decoded_any:
             # learn the in-band level of frame-bearing blocks (EWMA) — the
-            # squelch reference; see __init__
+            # squelch reference; see __init__.  Downward moves are capped
+            # hard: a decode at level L proves frames live at L, so the
+            # reference may never sit more than 6 dB above the latest
+            # decode level — after a legitimate >10 dB partner power drop,
+            # the FIRST successful probe re-opens the gate instead of
+            # ~20 EWMA steps of every-16th-block probing
             r = self._ib_signal_ref
-            self._ib_signal_ref = ibp if r is None else 0.9 * r + 0.1 * ibp
+            r = ibp if r is None else 0.9 * r + 0.1 * ibp
+            self._ib_signal_ref = min(r, 4.0 * ibp)
 
     def _push_event(self, event: CEEvent, t: float = 0.0) -> None:
         self._events.append(CEMetrics(ce_event=event, time_s=t))

@@ -440,7 +440,10 @@ class TestManyProcessScenario:
             medium_center=466e6,
             medium_block_len=65536,
             medium_noise_power=1e-8,
-            max_wall_time_s=420.0,
+            max_wall_time_s=560.0,
+            net_step_timeout_s=300.0,  # early steps trace/compile under
+            # 48-process contention; the default 120 s trips when the full
+            # suite shares the host
             name="forty_eight_process",
         )
         ctl = NetController(cfg, port=47331, transport="auto", start_pad_s=0.1)
@@ -543,3 +546,39 @@ class TestSshLaunch:
                     break
                 _time.sleep(0.2)
             assert not alive, f"remote pid {pid} leaked"
+
+
+@pytest.mark.slow
+class TestPipelinedProduceAccounting:
+    def test_sample_cursors_advance_exactly_once_per_step(self):
+        """Round-4 review regression: the pipelined loop's speculative
+        produce() returning None (a silent block) must NOT be re-run —
+        that double-advanced tx sample cursors on every silent block
+        (interferer duty/dwell timelines ran 2x; mixer phase jumped).
+        Every node's cursor must equal exactly num_steps * block_len."""
+        import math
+
+        cfg = _two_node_scenario(run_time=0.1)
+        # add a duty-cycled interferer: its pull_tx_block returns None for
+        # the OFF half of every period — the trigger for the bug
+        cfg.nodes.append(
+            NodeConfig(
+                node_type="interferer",
+                interference_type="cw",
+                tx_freq=465e6,
+                duty_cycle=0.3,
+                period=0.02,
+            )
+        )
+        cfg.num_nodes = 3
+        assert cfg.net_pipeline  # the default, and the mode under test
+        ctl = NetController(cfg, port=47345, transport="python", start_pad_s=0.1)
+        ctl.run()
+        num_steps = math.ceil(cfg.run_time / (cfg.medium_block_len / cfg.medium_rate))
+        expect = num_steps * cfg.medium_block_len
+        for i in range(3):
+            assert ctl.summaries[i]["tx_samples"] == expect, (
+                i,
+                ctl.summaries[i]["tx_samples"],
+                expect,
+            )
