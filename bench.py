@@ -11,9 +11,19 @@ Prints ONE JSON line:
 vs_baseline is against the driver-set target of 100 MSamples/s/chip
 (BASELINE.md "Target: sustained sense->classify throughput"); the reference's
 implied real-time bound is 13 MSamples/s on a CPU (predictive_model.cfg:76).
+
+Measurement discipline (round-5): every chip-timed section runs >= 3
+trials and reports the MEDIAN, with the min/max spread in ``extra`` —
+round 4's number of record was one timed pass on a contended tunneled
+backend and under-reported the reproducible figure by >2x.  The bench
+also measures the fetch round-trip constant up front and flags a
+degraded tunnel (extra.environment) instead of silently shipping a
+contended sample.  Floors (tests/tpu_gates.py::PERF_FLOORS, shared with
+`pytest -m tpu`) guard against real regressions hiding inside the noise.
 """
 
 import json
+import statistics
 import sys
 import time
 
@@ -25,12 +35,39 @@ from cognitive_radio_network_tpu.models import SenseConfig, make_sense_fn
 from cognitive_radio_network_tpu.signal.mlp import reference_weights
 
 TARGET_MSPS = 100.0
+TRIALS = 3
 
 
 # the on-TPU correctness gates live in tests/tpu_gates.py — shared with
 # `CRN_TPU_TESTS=1 pytest -m tpu`, so hardware correctness is a first-class
 # test target and the bench aborts (instead of shipping numbers) on a
 # lowering bug
+
+
+def _median_trials(run_once, trials: int = TRIALS):
+    """Median-of-trials wrapper for chip-timed sections: one contended
+    pass on the tunneled backend must not become the number of record."""
+    vals = [run_once() for _ in range(trials)]
+    return (
+        float(statistics.median(vals)),
+        float(min(vals)),
+        float(max(vals)),
+    )
+
+
+def _fetch_rtt_ms(samples: int = 5) -> float:
+    """The device->host round-trip constant (min over a few probes): the
+    per-fetch cost every timed section amortizes.  Nominal ~25-36 ms on
+    the tunneled backend; 2x that means host/tunnel contention and the
+    run is flagged as degraded."""
+    x = jnp.zeros(64, jnp.int32)
+    _ = np.asarray(x[:1])
+    best = float("inf")
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        _ = np.asarray(x[:1])
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
 
 
 def main() -> None:
@@ -52,6 +89,14 @@ def main() -> None:
         except Exception:
             pass
 
+    # environment sanity: measure the fetch round-trip constant before
+    # timing anything; a degraded tunnel is flagged, not silently shipped
+    rtt_ms = _fetch_rtt_ms()
+    if rtt_ms > 80.0:
+        time.sleep(5.0)  # transient contention: give it one more chance
+        rtt_ms = min(rtt_ms, _fetch_rtt_ms())
+    environment = "nominal" if rtt_ms <= 80.0 else "degraded-tunnel"
+
     cfg = SenseConfig()
     # Large enough batch to saturate the chip, small enough to iterate fast:
     # cycles * 5120 samples. 8192 cycles ~ 42 MSamples ~ 336 MB complex64.
@@ -63,9 +108,7 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     # Planar float32 I/Q (xr, xi) — the framework's preferred zero-relayout
-    # device layout (see signal/iq.py; interleaved captures are de-interleaved
-    # on ingest by the native IQ loader's prefetch thread).
-    # buffers-flat 2D (C*A, N): the zero-relayout device layout
+    # device layout (see signal/iq.py); buffers-flat 2D (C*A, N)
     host_xr = rng.standard_normal(
         (cycles * cfg.averaging, cfg.fft_length), dtype=np.float32
     )
@@ -73,14 +116,9 @@ def main() -> None:
         (cycles * cfg.averaging, cfg.fft_length), dtype=np.float32
     )
 
-    def run_once():
-        iq = (jnp.asarray(host_xr), jnp.asarray(host_xi))
-        out = fn(iq, params)
-        jax.block_until_ready(out["decision"])
-        return out
-
     # Warmup/compile + end-to-end sanity: decisions come back to the host.
-    first = run_once()
+    iq = (jnp.asarray(host_xr), jnp.asarray(host_xi))
+    first = fn(iq, params)
     _ = np.asarray(first["decision"][:4])
 
     # --- on-TPU correctness gate: the fused sense kernel's on-chip output
@@ -98,23 +136,28 @@ def main() -> None:
     # drain with one scalar device->host fetch (block_until_ready alone does
     # not wait for completion on tunneled remote-execution backends, and the
     # ~25 ms fetch round-trip must be amortized, not measured per dispatch).
-    iq = (jnp.asarray(host_xr), jnp.asarray(host_xi))
     _ = np.asarray(fn(iq, params)["decision"][:1])  # drain once more
 
-    reps = 8
-    while True:
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(iq, params)
-        _ = np.asarray(out["decision"][:1])
-        elapsed = time.perf_counter() - t0
-        if elapsed > 2.0 or reps >= 512:
-            break
-        reps *= 2
+    def sense_trial():
+        reps = 8
+        while True:
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(iq, params)
+            _ = np.asarray(out["decision"][:1])
+            elapsed = time.perf_counter() - t0
+            if elapsed > 1.5 or reps >= 512:
+                break
+            reps *= 2
+        sense_trial.reps = reps
+        sense_trial.elapsed = elapsed
+        return reps * n / elapsed / 1e6
 
-    total_samples = reps * n
-    msps = total_samples / elapsed / 1e6
-    amortized_block_ms = float(elapsed / (reps * cycles) * 1e3)
+    msps, msps_lo, msps_hi = _median_trials(sense_trial)
+    reps = sense_trial.reps
+    amortized_block_ms = float(
+        sense_trial.elapsed / (sense_trial.reps * cycles) * 1e3
+    )
 
     # True p50/p99 BLOCK latency (the BASELINE metric).  One 64-cycle
     # sense block costs ~10 us on the chip — far below the tunneled
@@ -168,10 +211,8 @@ def main() -> None:
     # Secondary: 64-channel wideband energy detect (BASELINE config 5's
     # per-chip building block), on the fused VMEM-resident Pallas kernel
     # (ops/fused_wideband.py) at a streaming block size — 33.5 M wide
-    # samples (= 2.6 s of signal per channel at the reference's per-link
-    # rate) per dispatch so the tunneled backend's ~0.7 ms dispatch
-    # overhead is amortized, as a streaming monitor double-buffering real
-    # blocks would.
+    # samples per dispatch so dispatch overhead is amortized, as a
+    # streaming monitor double-buffering real blocks would.
     from cognitive_radio_network_tpu.ops.fused_wideband import (
         wideband_energy_fused,
     )
@@ -191,63 +232,64 @@ def main() -> None:
         rng.standard_normal(t_chan * wcfg.num_channels, dtype=np.float32)
     )
     # on-TPU correctness gates (shared with pytest -m tpu), including the
-    # cross-shard initial_history path round-3 review flagged as never
-    # having executed on real hardware
+    # cross-shard initial_history path
     tpu_gates.gate_fused_wideband(rng)
     tpu_gates.gate_sharded_wideband_history(rng)
 
     for _ in range(4):
         wout = wfn(wxr, wxi)
     _ = np.asarray(wout[:1, :1])
-    wreps = 32
-    t0 = time.perf_counter()
-    for _ in range(wreps):
-        wout = wfn(wxr, wxi)
-    _ = np.asarray(wout[:1, :1])
-    wideband_msps = wreps * t_chan * wcfg.num_channels / (
-        time.perf_counter() - t0
-    ) / 1e6
+
+    def wideband_trial():
+        wreps = 32
+        t0 = time.perf_counter()
+        for _ in range(wreps):
+            wout = wfn(wxr, wxi)
+        _ = np.asarray(wout[:1, :1])
+        return wreps * t_chan * wcfg.num_channels / (
+            time.perf_counter() - t0
+        ) / 1e6
+
+    wideband_msps, wideband_lo, wideband_hi = _median_trials(wideband_trial)
 
     # OFDM link: full-rate receive on the fused fixed-config path — top-K
     # Schmidl&Cox detect + gather + demod + FEC + CRC in ONE dispatch per
     # block (phy/framesync.py::_receive_block_graph).  The reference's
     # implied bound is sustaining 13 MS/s *including* frame sync on a CPU
     # (BASELINE.md; scenarios/predictive_model.cfg:76).
-    from cognitive_radio_network_tpu.phy import (
-        OFDMFrameConfig,
-        OFDMFrameGen,
-        OFDMFrameSync,
-    )
-
-    # gate + device-resident block come from the shared helper; n_valid is
-    # device-resident OUTSIDE the timing loop (a fresh jnp.int32 per call is
-    # a host->device transfer that fences dispatch pipelining, ~50 ms on
-    # tunneled backends)
     orr_d, ori_d, nvalid_d, rxfn, F, n_link = tpu_gates.gate_ofdm_decode(rng)
-    oreps = 16
-    while True:
-        t0 = time.perf_counter()
-        for _ in range(oreps):
-            _b, _p, _c, oo, ok = rxfn(orr_d, ori_d, nvalid_d)
-        _ = np.asarray(ok[:1])
-        oel = time.perf_counter() - t0
-        if oel > 1.5 or oreps >= 256:
-            break
-        oreps *= 2
-    ofdm_msps = oreps * n_link / oel / 1e6
-    ofdm_fps = oreps * F / oel
 
-    # Adaptive link: the liquid-equivalent STREAMING receiver
-    # (phy/framesync.py::StreamReceiver.process — per-frame config riding
-    # the coded PHY header, residual carry across blocks), the path that
-    # replaces ofdmflexframesync_execute per SURVEY §2.1
-    # (src/extensible_cognitive_radio.cpp:1299-1366).  A mixed-config
-    # burst (alternating qam4/h128 and qam16/none payload configs) streams
-    # through process(); the figure includes the scan dispatch, the per-
-    # config decode dispatches, AND the host round trips — the honest
-    # per-block cost of the adaptive mode.
+    def ofdm_trial():
+        oreps = 16
+        while True:
+            t0 = time.perf_counter()
+            for _ in range(oreps):
+                _b, _p, _c, oo, ok = rxfn(orr_d, ori_d, nvalid_d)
+            _ = np.asarray(ok[:1])
+            oel = time.perf_counter() - t0
+            if oel > 1.0 or oreps >= 256:
+                break
+            oreps *= 2
+        ofdm_trial.fps = oreps * F / oel
+        return oreps * n_link / oel / 1e6
+
+    ofdm_msps, ofdm_lo, ofdm_hi = _median_trials(ofdm_trial)
+    ofdm_fps = ofdm_trial.fps
+
+    # Adaptive link: the liquid-equivalent STREAMING receiver — the path
+    # that replaces ofdmflexframesync_execute per SURVEY §2.1
+    # (src/extensible_cognitive_radio.cpp:1299-1366).  A mixed-config burst
+    # (alternating qam4/h128 and qam16/none payload configs) streams
+    # through the fused one-dispatch-per-block step
+    # (phy/framesync.py::_stream_step_graph) via the pipelined
+    # feed_device/flush API: per-frame configs ride the coded PHY header,
+    # candidate resolution runs in-graph, stream state chains on device,
+    # and packed results prefetch in groups — so dispatches pipeline and
+    # the figure includes everything: scan, resolve, decode, residual
+    # carry, AND delivery of every payload byte to the host.
     import dataclasses as _dcc
 
+    from cognitive_radio_network_tpu.phy import OFDMFrameConfig, OFDMFrameGen
     from cognitive_radio_network_tpu.phy.framesync import StreamReceiver
 
     acfg_a = OFDMFrameConfig()
@@ -278,38 +320,53 @@ def main() -> None:
         arr[pos : pos + fr_b.shape[1]] = fr_b[i, :, 0]
         ari[pos : pos + fr_b.shape[1]] = fr_b[i, :, 1]
         pos += step_b
-    srx = StreamReceiver(acfg_a, max_frames_per_block=F_ad)
-    # device-resident streaming (process_device): block planes live on
-    # device — as an upstream jitted producer or the native loader's DMA
-    # would leave them — and the residual carry stays on device; per block
-    # only the packed candidate record and decoded frames cross the host
-    # boundary.  The host process() API on this TUNNELED backend pays a
-    # ~72 MB block upload per call (~8.7 s — transfer-bound, not compute).
-    arr_d, ari_d = jnp.asarray(arr), jnp.asarray(ari)
-    frames0 = srx.process_device(arr_d, ari_d, threshold=0.2)
+    a_blocks_n = 8
+    a_blk = n_ad // a_blocks_n
+    a_lag, a_grp = 26, 12
+    srx = StreamReceiver(acfg_a, max_frames_per_block=F_ad // a_blocks_n + 8)
+    srx.fetch_group = a_grp
+    a_blocks = [
+        (
+            jnp.asarray(arr[i * a_blk : (i + 1) * a_blk]),
+            jnp.asarray(ari[i * a_blk : (i + 1) * a_blk]),
+        )
+        for i in range(a_blocks_n)
+    ]
+
+    def adaptive_pass(passes: int):
+        frames = []
+        for _p in range(passes):
+            for br, bi in a_blocks:
+                frames += srx.feed_device(br, bi, threshold=0.2, max_lag=a_lag)
+        frames += srx.flush()
+        return frames
+
     # correctness gate: every frame of both configs decodes with its
-    # payload intact before anything is timed
-    assert len(frames0) == F_ad, (len(frames0), F_ad)
-    got_pay = np.stack(
-        [f["payload"] for f in frames0]
-    )
+    # payload intact before anything is timed (warm passes also compile
+    # the fused step + fetch-group stack shapes)
+    for _ in range(3):
+        frames0 = adaptive_pass(1)
+        assert len(frames0) == F_ad, (len(frames0), F_ad)
+    got_pay = np.stack([f["payload"] for f in frames0])
     assert np.array_equal(got_pay, ap), "adaptive decode mismatch"
     assert all(f["stats"].payload_valid for f in frames0)
     mods = [f["stats"].mod_scheme for f in frames0]
     assert mods[0::2] == ["qam4"] * (F_ad // 2)
     assert mods[1::2] == ["qam16"] * (F_ad // 2)
-    areps = 4
-    while True:
+
+    def adaptive_trial():
+        passes = 4
         t0 = time.perf_counter()
-        for _ in range(areps):
-            af = srx.process_device(arr_d, ari_d, threshold=0.2)
+        af = adaptive_pass(passes)
         ael = time.perf_counter() - t0
-        assert len(af) == F_ad
-        if ael > 2.0 or areps >= 64:
-            break
-        areps *= 2
-    adaptive_msps = areps * n_ad / ael / 1e6
-    adaptive_fps = areps * F_ad / ael
+        assert len(af) == passes * F_ad
+        gp = np.stack([f["payload"] for f in af[:F_ad]])
+        assert np.array_equal(gp, ap)
+        adaptive_trial.fps = passes * F_ad / ael
+        return passes * n_ad / ael / 1e6
+
+    adaptive_msps, adaptive_lo, adaptive_hi = _median_trials(adaptive_trial)
+    adaptive_fps = adaptive_trial.fps
 
     # Alt mode: bf16 IQ ingest + single-pass bf16 matmuls (precision
     # "default") — half the HBM read traffic, ~0.5% feature error (well
@@ -324,12 +381,30 @@ def main() -> None:
     for _ in range(8):  # warm: first dispatches pay remote-queue ramp-up
         out16 = fn16(iq16, params)
     _ = np.asarray(out16["decision"][:1])
-    reps16 = max(reps // 2, 8)
-    t0 = time.perf_counter()
-    for _ in range(reps16):
-        out16 = fn16(iq16, params)
-    _ = np.asarray(out16["decision"][:1])
-    msps16 = reps16 * n / (time.perf_counter() - t0) / 1e6
+
+    def bf16_trial():
+        reps16 = max(reps // 2, 8)
+        t0 = time.perf_counter()
+        for _ in range(reps16):
+            out16 = fn16(iq16, params)
+        _ = np.asarray(out16["decision"][:1])
+        return reps16 * n / (time.perf_counter() - t0) / 1e6
+
+    msps16, msps16_lo, msps16_hi = _median_trials(bf16_trial)
+
+    # Perf floors (tests/tpu_gates.py::PERF_FLOORS, shared with the -m tpu
+    # suite): generous bounds far below normal variance but far above any
+    # real regression — a silent 2x collapse must fail loudly, not ship.
+    # Asserted on the BEST trial (collapse semantics: if any trial reaches
+    # the floor the kernel is healthy; the median is the reported figure).
+    floors = tpu_gates.PERF_FLOORS
+    assert msps_hi >= floors["sense_msps"], (msps_hi, floors)
+    assert wideband_hi >= floors["wideband_msps"], (wideband_hi, floors)
+    assert ofdm_hi >= floors["ofdm_link_msps"], (ofdm_hi, floors)
+    assert adaptive_hi >= floors["adaptive_link_msps"], (
+        adaptive_hi,
+        floors,
+    )
 
     # Scenario runtime: simulated seconds per wall second for the reference's
     # headline scenario (scenarios/predictive_model.cfg — random-hopping PU +
@@ -337,8 +412,6 @@ def main() -> None:
     # framework (traffic, frame assembly, medium, frame sync, engines)
     # sustains the reference's real-time bound.  The link PHY runs on the
     # host per ScenarioConfig.phy_placement (see runtime/controller.py).
-    from pathlib import Path
-
     from cognitive_radio_network_tpu.runtime.config import load_scenario
     from cognitive_radio_network_tpu.runtime.controller import ScenarioRuntime
 
@@ -365,7 +438,8 @@ def main() -> None:
     # over the TCP star (src/crts_cognitive_radio.cpp:818-915).  Node
     # processes run their PHY/engines on their own host backends
     # (phy_placement="host"), so they never contend for the one TPU chip.
-    # Steady-state factor excludes step 0, where node processes jit-compile.
+    # Steady-state factor excludes the first quarter, where node processes
+    # jit-compile.
     from cognitive_radio_network_tpu.runtime.netctl import NetController
 
     # Warm run first: node processes fill the persistent XLA compilation
@@ -391,6 +465,16 @@ def main() -> None:
     # (src/crts_controller.cpp:404-421 ssh-launches each node on its own
     # server_ip): margin < 1.0 means every node individually sustains
     # real time on a single core.
+    def _node_margin(ctl, default_sim):
+        node_cpu = [s.get("cpu_time_s", 0.0) for s in ctl.summaries.values()]
+        sim_s = max(
+            (s.get("sim_time_s", 0.0) for s in ctl.summaries.values()),
+            default=default_sim,
+        )
+        return (
+            max(node_cpu) / max(sim_s, 1e-9) if node_cpu else float("nan")
+        )
+
     scn8 = Path(__file__).parent / "scenarios" / "eight_node.cfg"
     wcfg8 = load_scenario(scn8)
     wcfg8.run_time = 2.0
@@ -400,14 +484,29 @@ def main() -> None:
     dctl8 = NetController(dcfg8, port=47494, start_pad_s=1.0)
     dctl8.run()
     dist8_factor = dctl8.steady_t / max(dctl8.steady_wall_time_s, 1e-9)
-    node_cpu = [
-        s.get("cpu_time_s", 0.0) for s in dctl8.summaries.values()
-    ]
-    sim_s = max(
-        (s.get("sim_time_s", 0.0) for s in dctl8.summaries.values()),
-        default=dcfg8.run_time,
+    node_margin8 = _node_margin(dctl8, dcfg8.run_time)
+
+    # 48-process mode (the reference's cap, include/crts.hpp:189): one full
+    # sim-second of sustained operation with 48 OS node processes through
+    # the TCP star — beyond round-4's launch/connect smoke.  On this
+    # 2-vCPU host the AGGREGATE factor is necessarily << 1 (48 processes
+    # share 2 cores); the per-node CPU margin is the host-count-independent
+    # real-time criterion (one host per node in the reference's deployment).
+    from cognitive_radio_network_tpu.runtime.config import (
+        build_forty_eight_node_scenario,
     )
-    node_margin8 = max(node_cpu) / max(sim_s, 1e-9) if node_cpu else float("nan")
+
+    cfg48, gains48 = build_forty_eight_node_scenario(run_time=1.0)
+    cfg48.max_wall_time_s = 420.0
+    ctl48 = NetController(cfg48, port=47497, start_pad_s=2.0)
+    ctl48.medium.gains = gains48
+    ctl48.run()
+    sim48 = max(
+        (s.get("sim_time_s", 0.0) for s in ctl48.summaries.values()),
+        default=0.0,
+    )
+    dist48_factor = ctl48.steady_t / max(ctl48.steady_wall_time_s, 1e-9)
+    node_margin48 = _node_margin(ctl48, cfg48.run_time)
 
     print(
         json.dumps(
@@ -417,6 +516,10 @@ def main() -> None:
                 "unit": "MSamples/s",
                 "vs_baseline": round(msps / TARGET_MSPS, 3),
                 "extra": {
+                    "trials": TRIALS,
+                    "environment": environment,
+                    "fetch_rtt_ms": round(rtt_ms, 1),
+                    "sense_msps_spread": [round(msps_lo, 2), round(msps_hi, 2)],
                     "pipelined_latency_ms_per_cycle": round(amortized_block_ms, 6),
                     "p50_block_latency_ms": round(p50_block_ms, 3),
                     "p99_block_latency_ms": round(p99_block_ms, 3),
@@ -426,10 +529,23 @@ def main() -> None:
                     "device": str(jax.devices()[0]),
                     "reps": reps,
                     "bf16_ingest_msps": round(msps16, 2),
+                    "bf16_ingest_spread": [
+                        round(msps16_lo, 2),
+                        round(msps16_hi, 2),
+                    ],
                     "wideband_64ch_msps": round(wideband_msps, 2),
+                    "wideband_spread": [
+                        round(wideband_lo, 2),
+                        round(wideband_hi, 2),
+                    ],
                     "ofdm_link_msps": round(ofdm_msps, 2),
+                    "ofdm_link_spread": [round(ofdm_lo, 2), round(ofdm_hi, 2)],
                     "ofdm_link_frames_per_s": round(ofdm_fps, 1),
                     "adaptive_link_msps": round(adaptive_msps, 2),
+                    "adaptive_link_spread": [
+                        round(adaptive_lo, 2),
+                        round(adaptive_hi, 2),
+                    ],
                     "adaptive_link_frames_per_s": round(adaptive_fps, 1),
                     "scenario_realtime_factor": round(realtime_factor, 3),
                     "distributed_realtime_factor": round(
@@ -441,6 +557,13 @@ def main() -> None:
                     "distributed_8node_max_node_cpu_per_sim_s": round(
                         node_margin8, 3
                     ),
+                    "distributed_realtime_factor_48node": round(
+                        dist48_factor, 3
+                    ),
+                    "distributed_48node_max_node_cpu_per_sim_s": round(
+                        node_margin48, 3
+                    ),
+                    "distributed_48node_sim_s": round(sim48, 3),
                 },
             }
         )

@@ -54,6 +54,7 @@ from cognitive_radio_network_tpu.phy.framegen import (
     OFDMFrameConfig,
     OFDMFrameGen,
     gen_for,
+    pack_phy_header,
     unpack_phy_header,
 )
 from cognitive_radio_network_tpu.signal.iq import split_iq
@@ -355,9 +356,10 @@ def _to_np_planes(iq) -> tuple[np.ndarray, np.ndarray]:
 
 def _bucket_len(n: int, floor: int = 1) -> int:
     """Shape bucket for jit compilation caching: the next multiple of an
-    eighth of the enclosing power of two (so at most 8 distinct compiled
-    shapes per octave, with <= 12.5% padding — a full power-of-two round-up
-    wasted up to ~2x scan compute on steady streaming block sizes)."""
+    eighth of the enclosing power of two (at most 8 distinct compiled
+    shapes per octave; padding is <= 12.5% deep into an octave but up to
+    ~25% just past a power of two, e.g. 129 -> 160 — still far below the
+    ~2x a full power-of-two round-up wasted on steady streaming sizes)."""
     n = max(n, floor, 1)
     p = 1 << max(int(np.ceil(np.log2(n))), 0)
     q = max(p // 8, 1)
@@ -692,45 +694,325 @@ def _scan_packed_jit_for(cfg: OFDMFrameConfig, k: int):
     )
 
 
-@functools.lru_cache(maxsize=16)
-def _concat_stream_jit():
-    """Device-side residual||block concatenation for the device-resident
-    streaming path.  The residual buffer is RIGHT-ALIGNED in its r_cap
-    capacity (valid data in res[r_cap-res_len:], zeros before it), so the
-    concatenation is a STATIC-shape op — dynamic-offset buffer assembly
-    compiled ~170 s over the remote-compile tunnel; this compiles in
-    seconds."""
+@functools.lru_cache(maxsize=512)
+def _scan_packed_buf_jit_for(cfg: OFDMFrameConfig, k: int, bucket: int):
+    """Single-upload variant for the host streaming path: ONE f32 array
+    [n_valid | rr | ri] instead of three transfers — per-call host->device
+    fixed costs (one per array, scalars included) dominated the radio
+    runtime's per-block scan on the CPU backend."""
+    layout = gen_for(cfg, 1)
 
-    @jax.jit
-    def fn(res_r, res_i, blk_r, blk_i):
-        return (
-            jnp.concatenate([res_r, blk_r]),
-            jnp.concatenate([res_i, blk_i]),
-        )
+    def fn(buf):
+        n_valid = buf[0].astype(jnp.int32)
+        rr = jax.lax.slice_in_dim(buf, 1, 1 + bucket)
+        ri = jax.lax.slice_in_dim(buf, 1 + bucket, 1 + 2 * bucket)
+        return _scan_block_graph_packed(layout, rr, ri, n_valid, k=k)
 
-    return fn
-
-
-@functools.lru_cache(maxsize=16)
-def _residual_slice_jit(r_cap: int):
-    """New right-aligned residual: the buffer's last r_cap samples, with
-    everything before the keep point zeroed (stale samples there would
-    re-detect already-consumed frames next block)."""
-
-    @jax.jit
-    def fn(buf_r, buf_i, res_len):
-        tail_r = buf_r[-r_cap:]
-        tail_i = buf_i[-r_cap:]
-        live = jnp.arange(r_cap) >= r_cap - res_len
-        return jnp.where(live, tail_r, 0.0), jnp.where(live, tail_i, 0.0)
-
-    return fn
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=512)
 def _rx_at_packed_jit_for(cfg: OFDMFrameConfig, payload_len: int):
     return jax.jit(
         functools.partial(_rx_at_graph_packed, gen_for(cfg, payload_len))
+    )
+
+
+@functools.lru_cache(maxsize=512)
+def _rx_at_packed_buf_jit_for(cfg: OFDMFrameConfig, payload_len: int, bucket: int):
+    """Single-upload decode for the host streaming path: the stream rides
+    the scan's packed [n | rr | ri] buffer (already on device) and the
+    offsets/cfos arrive as ONE f32 array [offs.bits | cfs]."""
+    gen = gen_for(cfg, payload_len)
+
+    def fn(buf, oc):
+        rr = jax.lax.slice_in_dim(buf, 1, 1 + bucket)
+        ri = jax.lax.slice_in_dim(buf, 1 + bucket, 1 + 2 * bucket)
+        g = oc.shape[0] // 2
+        offs = jax.lax.bitcast_convert_type(oc[:g], jnp.int32)
+        return _rx_at_graph_packed(gen, rr, ri, offs, oc[g:])
+
+    return jax.jit(fn)
+
+
+# ----------------------------------------------------------------------
+# fused adaptive stream step (scan + in-graph candidate resolution +
+# speculative decode + residual carry, ONE dispatch per block)
+# ----------------------------------------------------------------------
+
+
+def _phy_geometry(layout: OFDMFrameGen, phy: jax.Array):
+    """In-graph frame geometry from decoded PHY headers.
+
+    phy: (K, 6) uint8 [payload_len lo | hi | mod | fec0 | fec1 | crc].
+    Returns (frame_len (K,) int32, valid (K,) bool) — the vectorized
+    equivalent of ``unpack_phy_header`` + ``OFDMFrameGen`` sizing
+    (phy/framegen.py:173-194), so candidate resolution (overlap
+    suppression with the TRUE per-frame length, incomplete-frame carry)
+    can run inside the stream-step graph regardless of which payload
+    configs the frames carry."""
+    p = phy[:, 0].astype(jnp.int32) | (phy[:, 1].astype(jnp.int32) << 8)
+    mod_i = phy[:, 2].astype(jnp.int32)
+    f0_i = phy[:, 3].astype(jnp.int32)
+    f1_i = phy[:, 4].astype(jnp.int32)
+    crc_i = phy[:, 5].astype(jnp.int32)
+    valid = (
+        (mod_i < len(modem.SCHEMES))
+        & (f0_i < len(fec_mod.SCHEMES))
+        & (crc_i < len(crc_mod.SCHEMES))
+        & (f1_i < len(fec_mod.SCHEMES))
+    )
+    crc_tab = jnp.asarray(
+        [crc_mod.crc_sizes(s) for s in crc_mod.SCHEMES], jnp.int32
+    )
+    n_dec = p + crc_tab[jnp.clip(crc_i, 0, len(crc_mod.SCHEMES) - 1)]
+
+    def fec_len(idx, nb):
+        # per-scheme encoded_length formulas (phy/fec.py:354-366), selected
+        # element-wise: none, rep3, h74, h128, v27
+        opts = jnp.stack(
+            [
+                nb,
+                3 * nb,
+                (nb * 14 + 7) // 8,
+                (nb * 12 + 7) // 8,
+                (2 * (8 * nb + fec_mod._CONV_K - 1) + 7) // 8,
+            ],
+            axis=-1,
+        )  # (K, 5)
+        return jnp.take_along_axis(
+            opts, jnp.clip(idx, 0, 4)[:, None], axis=-1
+        )[:, 0]
+
+    enc0 = fec_len(f0_i, n_dec)
+    enc_bytes = fec_len(f1_i, enc0)
+    bps_tab = jnp.asarray(
+        [modem.bits_per_symbol(s) for s in modem.SCHEMES], jnp.int32
+    )
+    bps = bps_tab[jnp.clip(mod_i, 0, len(modem.SCHEMES) - 1)]
+    total_mod_syms = (enc_bytes * 8 + bps - 1) // bps
+    nd = len(layout.data_idx)
+    n_payload_syms = (total_mod_syms + nd - 1) // nd
+    m, cp = layout.cfg.num_subcarriers, layout.cfg.cp_len
+    num_symbols = layout.n_header_syms + n_payload_syms
+    frame_len = 2 * m + (m + cp) * (1 + num_symbols)
+    return frame_len, valid
+
+
+def _stream_step_graph(
+    layout: OFDMFrameGen,
+    spec_gens: tuple[OFDMFrameGen, ...],
+    max_residual: int,
+    res_r,
+    res_i,
+    res_len,
+    blk_r,
+    blk_i,
+    thr,
+    *,
+    k: int,
+):
+    """ONE-dispatch adaptive stream step: scan + greedy candidate
+    resolution + speculative decode + residual carry, all in-graph.
+
+    Replaces :meth:`StreamReceiver.process_device`'s per-block host loop
+    (scan fetch -> host ordering/config grouping -> per-config decode
+    dispatch -> fetch), which bounded the adaptive path at ~45-69 MS/s on
+    tunneled backends (round-4 verdict #3).  The host semantics are
+    reproduced exactly:
+
+    * candidates ordered by position (stable), greedy-accepted against
+      threshold, header CRC, header parse validity, and overlap with the
+      previously accepted frame using each candidate's TRUE frame length
+      from its own PHY header (:func:`_phy_geometry`);
+    * the incomplete-frame break (header/frame region overruns the buffer)
+      stops acceptance and pulls the residual keep-point back to the frame
+      start, so the tail decodes next block;
+    * the residual (right-aligned in an r_cap buffer) is re-sliced on
+      device — state never crosses the host boundary, so successive steps
+      pipeline with NO host round trip between dispatches.
+
+    Payload decode runs speculatively against ``spec_gens`` (the 1-2 most
+    recently seen payload configs): every candidate is decoded under each
+    spec config in the same dispatch, and a per-candidate ``match_idx``
+    records which spec (if any) equals its PHY header.  Mismatched frames
+    (config just changed) fall back to the host-grouped decode path on the
+    exported buffer planes — rare, and only those frames pay the extra
+    round trip.
+
+    Returns (new_res_r, new_res_i, new_res_len, buf_r, buf_i, packed)
+    where ``packed`` is ONE int32 array (k+1, 20 + 3*S + ceil(W/4)): cols
+    0..19+3S, rows 0..k-1 = [best, peak.bits, cfo.bits, hdr_ok, hdr[8],
+    phy[6], accept, match_idx, then per spec (evm, rssi, cfo).bits]; row k
+    = meta [res_len_in, keep_from, consumed_end, incomplete, tiny, 0...];
+    the remaining columns are each candidate's MATCHED-spec decode bytes
+    (uint8 (k, Wmax), Wmax = max_s(16 + P_s)) packed little-endian
+    4-bytes-per-word.  One host-fetchable output per step, because each
+    fetched array costs a full host round trip on tunneled backends.
+    """
+    r_cap = res_r.shape[0]
+    buf_r = jnp.concatenate([res_r, blk_r])
+    buf_i = jnp.concatenate([res_i, blk_i])
+    n = buf_r.shape[0]  # static: r_cap + block_len
+    lead = r_cap - res_len
+    n_live = res_len + blk_r.shape[0]
+    prefix = (
+        2 * layout.cfg.num_subcarriers
+        + (layout.cfg.num_subcarriers + layout.cfg.cp_len)
+        * (1 + layout.n_header_syms)
+    )
+
+    bests, peaks, cfos, headers, phy, hdr_ok = _scan_block_graph(
+        layout, buf_r, buf_i, jnp.int32(n), k=k
+    )
+    flen, phy_valid = _phy_geometry(layout, phy)
+
+    # greedy resolution in offset order (the host loop of
+    # _resolve_candidates, as a lax.scan with a scalar carry)
+    order = jnp.argsort(bests)  # stable
+    ob = bests[order].astype(jnp.int32)
+    opk = peaks[order]
+    ohok = hdr_ok[order]
+    oval = phy_valid[order]
+    ofl = flen[order]
+    keep0 = jnp.maximum(jnp.int32(n - prefix), lead.astype(jnp.int32))
+
+    def body(carry, x):
+        consumed, stopped, keep_from, incomplete = carry
+        off, pk, hok, val, fl = x
+        considered = (~stopped) & (pk >= thr) & (off >= consumed)
+        prefix_overrun = considered & (off + prefix > n)
+        after_hdr = considered & (~prefix_overrun) & hok & val
+        frame_overrun = after_hdr & (off + fl > n)
+        accept = after_hdr & (~frame_overrun)
+        consumed = jnp.where(accept, off + fl, consumed)
+        stop_now = prefix_overrun | frame_overrun
+        keep_from = jnp.where(
+            stop_now, jnp.minimum(keep_from, off), keep_from
+        )
+        return (
+            consumed,
+            stopped | stop_now,
+            keep_from,
+            incomplete | stop_now,
+        ), accept
+
+    (consumed_end, _, keep_from, incomplete), acc_sorted = jax.lax.scan(
+        body,
+        (jnp.int32(0), jnp.bool_(False), keep0, jnp.bool_(False)),
+        (ob, opk, ohok, oval, ofl),
+        # the body is ~15 scalar ops but a TPU scan iteration costs ~10 us
+        # of loop overhead — unrolled, the K-candidate resolution costs
+        # ~K/32 iterations instead of K
+        unroll=min(32, ob.shape[0]),
+    )
+    accept = jnp.zeros(ob.shape[0], jnp.bool_).at[order].set(acc_sorted)
+
+    # the tiny-block early-out of the host path: too short to scan ->
+    # accept nothing, keep the whole live region, leave pending unchanged
+    m4 = 4 * layout.cfg.num_subcarriers
+    tiny = n_live < prefix + m4
+    accept = accept & ~tiny
+
+    # residual carry (right-aligned, zeros before the keep point)
+    keep2 = jnp.maximum(keep_from, consumed_end)
+    keep2 = jnp.maximum(keep2, jnp.int32(n - max_residual))
+    keep2 = jnp.where(tiny, lead.astype(jnp.int32), keep2)
+    new_res_len = jnp.int32(n) - keep2
+    tail_r, tail_i = buf_r[-r_cap:], buf_i[-r_cap:]
+    live = jnp.arange(r_cap) >= r_cap - new_res_len
+    new_res_r = jnp.where(live, tail_r, 0.0)
+    new_res_i = jnp.where(live, tail_i, 0.0)
+
+    # speculative decode under each spec config (shared window gather per
+    # spec; frames whose header matches no spec fall back on the host)
+    match_idx = jnp.full(ob.shape[0], -1, jnp.int32)
+    dec_bytes, dec_f32 = [], []
+    for s, sg in enumerate(spec_gens):
+        spec_phy = pack_phy_header(sg.cfg, sg.payload_len)
+        m_s = jnp.all(phy == jnp.asarray(spec_phy), axis=1)
+        match_idx = jnp.where((match_idx < 0) & m_s, s, match_idx)
+        db, df = _rx_at_graph_packed(sg, buf_r, buf_i, bests, cfos)
+        dec_bytes.append(db)
+        dec_f32.append(df)
+
+    cols = [
+        bests.astype(jnp.int32)[:, None],
+        jax.lax.bitcast_convert_type(peaks.astype(jnp.float32), jnp.int32)[
+            :, None
+        ],
+        jax.lax.bitcast_convert_type(cfos.astype(jnp.float32), jnp.int32)[
+            :, None
+        ],
+        hdr_ok.astype(jnp.int32)[:, None],
+        headers.astype(jnp.int32),
+        phy.astype(jnp.int32),
+        accept.astype(jnp.int32)[:, None],
+        match_idx[:, None],
+        # per-spec (evm, rssi, cfo) ride the record as bitcast columns —
+        # every extra output array is an extra device->host round trip
+        *(
+            jax.lax.bitcast_convert_type(df.astype(jnp.float32), jnp.int32)
+            for df in dec_f32
+        ),
+    ]
+    rec = jnp.concatenate(cols, axis=1)  # (k, 20 + 3*S)
+    meta = jnp.stack(
+        [
+            res_len.astype(jnp.int32),
+            keep2,
+            consumed_end,
+            incomplete.astype(jnp.int32),
+            tiny.astype(jnp.int32),
+        ]
+    )
+    meta = jnp.pad(meta, (0, rec.shape[1] - meta.shape[0]))
+    rec = jnp.concatenate([rec, meta[None, :]], axis=0)  # (k+1, 20+3S)
+    # per candidate, keep ONLY the decode bytes of its MATCHED spec (the
+    # other spec's decode is garbage for it anyway): the fetch link runs at
+    # ~60 MB/s with ~25 ms latency, so every byte fetched is throughput
+    wmax = max(db.shape[1] for db in dec_bytes)
+    dec = jnp.zeros((dec_bytes[0].shape[0], wmax), jnp.uint8)
+    for s, db in enumerate(dec_bytes):
+        dbp = jnp.pad(db, ((0, 0), (0, wmax - db.shape[1])))
+        dec = jnp.where(match_idx[:, None] == s, dbp, dec)
+    # pack the decode bytes into int32 words (little-endian) and append to
+    # the record: ONE fetchable output per step — every extra array is an
+    # extra ~25-36 ms round trip in the prefetch pipeline
+    w = dec.shape[1]
+    wp = -(-w // 4) * 4
+    dec = jnp.pad(dec, ((0, 0), (0, wp - w))).reshape(dec.shape[0], wp // 4, 4)
+    d32 = jnp.sum(
+        dec.astype(jnp.int32)
+        << jnp.asarray([0, 8, 16, 24], jnp.int32)[None, None, :],
+        axis=-1,
+    )
+    d32 = jnp.pad(d32, ((0, 1), (0, 0)))  # meta row alignment
+    packed = jnp.concatenate([rec, d32], axis=1)  # (k+1, 20+3S + wp/4)
+    return new_res_r, new_res_i, new_res_len, buf_r, buf_i, packed
+
+
+@functools.lru_cache(maxsize=256)
+def _stream_step_jit_for(
+    cfg: OFDMFrameConfig,
+    spec_keys: tuple,
+    k: int,
+    max_residual: int,
+):
+    layout = gen_for(cfg, 1)
+    spec_gens = tuple(
+        gen_for(
+            dataclasses.replace(
+                cfg, mod_scheme=mod, fec0=f0, fec1=f1, crc_scheme=chk
+            ),
+            plen,
+        )
+        for (plen, mod, f0, f1, chk) in spec_keys
+    )
+    return jax.jit(
+        functools.partial(
+            _stream_step_graph, layout, spec_gens, max_residual, k=k
+        )
     )
 
 
@@ -758,11 +1040,26 @@ class StreamReceiver:
         self.max_frames_per_block = max_frames_per_block
         self._residual = np.zeros(0, np.complex64)
         self._residual_offset = 0  # absolute sample index of residual[0]
-        # device-resident residual (process_device streaming path)
+        # device-resident state (the fused process_device/feed_device path):
+        # residual planes + length live ON DEVICE and chain between step
+        # dispatches with no host round trip in between
         self._res_r_d = None
         self._res_i_d = None
+        self._res_len_d = None
         self._res_cap = 0
-        self._res_len = 0
+        # speculative-decode config history: the <= 2 most recently seen
+        # payload configs (keys as in _sync_for); the initial guess is the
+        # constructor config at the reference's 256-byte packet size
+        # (include/crts.hpp:192-194)
+        self._spec_lru: list[tuple] = [
+            (256, cfg.mod_scheme, cfg.fec0, cfg.fec1, cfg.crc_scheme)
+        ]
+        self._pending_steps: list[tuple] = []  # in-flight fused steps
+        # fetch batching: device->host round trips cost ~25-36 ms EACH and
+        # serialize on this backend, so consecutive steps' packed records
+        # are stacked device-side and fetched in ONE transfer per group
+        self.fetch_group = 8
+        self._open_group: dict | None = None
         # True while the residual holds a detected-but-incomplete frame
         # (its tail is still arriving) — the squelch must not carry/skip
         # past such a block (runtime/radio.py in-band gate)
@@ -830,21 +1127,23 @@ class StreamReceiver:
         keff = min(
             self.max_frames_per_block, max(4, -(-bucket // self.prefix_len))
         )
-        rr = np.zeros(bucket, np.float32)
-        ri = np.zeros(bucket, np.float32)
-        rr[:n] = buf.real
-        ri[:n] = buf.imag
-        rr_d, ri_d = jnp.asarray(rr), jnp.asarray(ri)
+        # ONE packed upload [n | rr | ri]: per-array host->device fixed
+        # costs (scalars included) dominated the per-block scan overhead
+        host = np.zeros(1 + 2 * bucket, np.float32)
+        host[0] = n
+        host[1 : 1 + n] = buf.real
+        host[1 + bucket : 1 + bucket + n] = buf.imag
+        buf_d = jnp.asarray(host)
         bests, peaks, cfos, headers, phys, hdr_ok = _unpack_scan(
-            np.asarray(
-                _scan_packed_jit_for(self.cfg, keff)(rr_d, ri_d, jnp.int32(n))
-            )
+            np.asarray(_scan_packed_buf_jit_for(self.cfg, keff, bucket)(buf_d))
         )
 
         accepted, consumed_end, keep_from = self._resolve_candidates(
             bests, peaks, hdr_ok, phys, n, threshold, keep_from
         )
-        frames = self._decode_groups(rr_d, ri_d, accepted, cfos, base)
+        frames = self._decode_groups(
+            buf_d, None, accepted, cfos, base, bucket=bucket
+        )
 
         keep_from = max(keep_from, consumed_end)
         # never let the residual grow beyond a bound (malformed stream guard)
@@ -891,23 +1190,42 @@ class StreamReceiver:
         self.pending_frame = incomplete
         return accepted, consumed_end, keep_from
 
-    def _decode_groups(self, rr_d, ri_d, accepted, cfos, base):
+    def _decode_groups(self, rr_d, ri_d, accepted, cfos, base, bucket=None):
         """Dispatch 2..: one fused batched demod+decode per payload config,
-        padded to K so each sync compiles exactly once per bucket size.
-        All configs are DISPATCHED first and their outputs fetched
-        concurrently (each fetch is a full host round trip on tunneled
-        backends; overlapped, G configs cost ~one)."""
+        padded to the next power of two so each sync compiles once per
+        size bucket (the previous flat max_frames_per_block padding made
+        the radio runtime's common case — ONE frame in a block — pay a
+        16-frame decode every time).  All configs are DISPATCHED first and
+        their outputs fetched concurrently (each fetch is a full host
+        round trip on tunneled backends; overlapped, G configs cost ~one)."""
         pending = []
         for parsed, items in accepted.items():
             sync = self._sync_for(*parsed)
             g = len(items)
-            offs = np.zeros(self.max_frames_per_block, np.int32)
-            cf = np.zeros(self.max_frames_per_block, np.float32)
-            offs[:g] = [off for off, _ in items]
-            cf[:g] = [float(cfos[i]) for _, i in items]
-            bpk, fpk = _rx_at_packed_jit_for(sync.cfg, sync.payload_len)(
-                rr_d, ri_d, jnp.asarray(offs), jnp.asarray(cf)
+            kpad = min(
+                1 << max(g - 1, 0).bit_length(), self.max_frames_per_block
             )
+            kpad = max(kpad, g)  # max_frames_per_block may not be a pow2
+            if bucket is not None:
+                # packed-buffer path: rr_d IS the scan's [n|rr|ri] upload;
+                # offsets+cfos travel as one array (one upload, not two)
+                oc = np.zeros(2 * kpad, np.float32)
+                oc[:g] = (
+                    np.asarray([off for off, _ in items], np.int32)
+                    .view(np.float32)
+                )
+                oc[kpad : kpad + g] = [float(cfos[i]) for _, i in items]
+                bpk, fpk = _rx_at_packed_buf_jit_for(
+                    sync.cfg, sync.payload_len, bucket
+                )(rr_d, jnp.asarray(oc))
+            else:
+                offs = np.zeros(kpad, np.int32)
+                cf = np.zeros(kpad, np.float32)
+                offs[:g] = [off for off, _ in items]
+                cf[:g] = [float(cfos[i]) for _, i in items]
+                bpk, fpk = _rx_at_packed_jit_for(sync.cfg, sync.payload_len)(
+                    rr_d, ri_d, jnp.asarray(offs), jnp.asarray(cf)
+                )
             pending.append((sync, items, bpk, fpk))
         if len(pending) > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -938,58 +1256,187 @@ class StreamReceiver:
     def process_device(self, blk_r, blk_i, threshold: float = 0.2):
         """Device-resident streaming receive: like :meth:`process`, but the
         block planes are ALREADY on device (e.g. produced by an upstream
-        jitted stage or DMA'd by the native IQ loader) and the residual
-        carry lives on device too — per block, only the packed candidate
-        record and the decoded frames cross the host boundary, never the
-        samples.  On interconnect-attached backends this is the difference
-        between compute-bound and transfer-bound streaming (measured 8.7 s
-        vs ~0.1 s per 8M-sample block over the tunneled TPU).
+        jitted stage or DMA'd by the native IQ loader) and ALL stream state
+        (residual planes + length) lives on device — the whole step (scan +
+        candidate resolution + decode + residual carry) is ONE fused
+        dispatch (:func:`_stream_step_graph`); per block only the packed
+        step record crosses the host boundary, never the samples.
 
-        The host-side semantics (candidate ordering, config grouping,
+        The host-side semantics (candidate ordering, config resolution,
         residual carry, pending_frame) are identical to :meth:`process`;
-        interleaving the two APIs on one receiver is not supported."""
-        b = int(blk_r.shape[0])
+        interleaving the two APIs on one receiver is not supported.
+        Synchronous: the step's results are fetched before returning.  For
+        throughput, use :meth:`feed_device` + :meth:`flush`, which keep
+        several steps in flight (state chains device-side, so dispatches
+        pipeline with no host round trip in between)."""
+        frames = self.feed_device(blk_r, blk_i, threshold, max_lag=0)
+        return frames
+
+    def feed_device(
+        self, blk_r, blk_i, threshold: float = 0.2, max_lag: int = 3
+    ):
+        """Pipelined device-resident streaming: dispatch the fused stream
+        step for this block and return the frames of any step whose results
+        are due (more than ``max_lag`` steps behind).  Call :meth:`flush`
+        to drain the tail; ``pending_frame`` is only current after a flush
+        (or with ``max_lag=0``)."""
         r_cap = _bucket_len(self.max_residual)
         if self._res_r_d is None or self._res_cap != r_cap:
             self._res_cap = r_cap
-            self._res_len = 0
             self._res_r_d = jnp.zeros(r_cap, jnp.float32)
             self._res_i_d = jnp.zeros(r_cap, jnp.float32)
-        # buffer layout: [zeros | residual (right-aligned) | block] — all
-        # static shapes.  Buffer index i maps to absolute sample
-        # base2 + i with base2 = residual_offset - lead.
-        buf_r, buf_i = _concat_stream_jit()(
-            self._res_r_d, self._res_i_d, blk_r, blk_i
-        )
-        n = r_cap + b
-        lead = r_cap - self._res_len  # leading zeros (not stream data)
-        base2 = self._residual_offset - lead
-        n_live = self._res_len + b
-        keep_from = max(n - self.prefix_len, lead)
-        if n_live < self.prefix_len + 4 * self.cfg.num_subcarriers:
-            # too short to scan: the whole live region becomes the residual
-            self._res_r_d, self._res_i_d = _residual_slice_jit(r_cap)(
-                buf_r, buf_i, jnp.int32(n_live)
-            )
-            self._res_len = n_live
-            return []
-        # n is static here (r_cap + b), so keff is shape-stable already
+            self._res_len_d = jnp.int32(0)
+        n = r_cap + int(blk_r.shape[0])
         keff = min(self.max_frames_per_block, max(4, -(-n // self.prefix_len)))
-        bests, peaks, cfos, headers, phys, hdr_ok = _unpack_scan(
-            np.asarray(
-                _scan_packed_jit_for(self.cfg, keff)(buf_r, buf_i, jnp.int32(n))
-            )
+        spec = tuple(sorted(self._spec_lru[-2:]))
+        fn = _stream_step_jit_for(self.cfg, spec, keff, self.max_residual)
+        (
+            self._res_r_d,
+            self._res_i_d,
+            self._res_len_d,
+            buf_r,
+            buf_i,
+            packed,
+        ) = fn(
+            self._res_r_d,
+            self._res_i_d,
+            self._res_len_d,
+            blk_r,
+            blk_i,
+            jnp.float32(threshold),
         )
-        accepted, consumed_end, keep_from = self._resolve_candidates(
-            bests, peaks, hdr_ok, phys, n, threshold, keep_from
+        # group the step's packed record for a batched prefetch: the
+        # ~25-36 ms device->host round trip then overlaps the dispatch +
+        # device time of the NEXT blocks AND amortizes over fetch_group
+        # steps (round trips serialize on this backend, so per-step
+        # fetches bounded streaming at ~1 RTT per block)
+        g = self._open_group
+        if g is not None and g["arrs"] and g["arrs"][0].shape != packed.shape:
+            self._submit_group()  # shape changed (new k/spec): close group
+            g = None
+        if g is None:
+            g = self._open_group = {"arrs": [], "fut": None}
+        idx = len(g["arrs"])
+        g["arrs"].append(packed)
+        self._pending_steps.append((g, idx, spec, buf_r, buf_i, r_cap))
+        if len(g["arrs"]) >= self.fetch_group:
+            self._submit_group()
+        if len(self._pending_steps) > max_lag:
+            return self._drain(len(self._pending_steps) - max_lag)
+        return []
+
+    def _submit_group(self) -> None:
+        g = self._open_group
+        if g is None or g["fut"] is not None:
+            return
+        stacked = (
+            g["arrs"][0][None]
+            if len(g["arrs"]) == 1
+            else jnp.stack(g["arrs"])
         )
-        frames = self._decode_groups(buf_r, buf_i, accepted, cfos, base2)
-        keep_from = max(keep_from, consumed_end)
-        keep_from = max(keep_from, n - self.max_residual)
-        res_len = n - keep_from
-        self._res_r_d, self._res_i_d = _residual_slice_jit(r_cap)(
-            buf_r, buf_i, jnp.int32(res_len)
-        )
-        self._res_len = res_len
-        self._residual_offset = base2 + keep_from
+        # start the device->host copy WITHOUT blocking (and without a
+        # fetch thread: device_get holds the GIL for the duration of the
+        # transfer on this backend, which stalled the dispatch loop); the
+        # drain's np.asarray then finds the data already host-side
+        try:
+            stacked.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        g["fut"] = stacked
+        g["arrs"] = []  # release per-step device refs (stack holds data)
+        self._open_group = None
+
+    def flush(self):
+        """Drain every in-flight :meth:`feed_device` step; returns their
+        frames and settles ``pending_frame``."""
+        return self._drain(len(self._pending_steps))
+
+    def _drain(self, count: int):
+        """Join the oldest ``count`` in-flight steps' prefetches (already
+        in flight since dispatch time) and materialize their frames in
+        stream order."""
+        entries = self._pending_steps[:count]
+        del self._pending_steps[:count]
+        frames = []
+        for entry in entries:
+            g = entry[0]
+            if g["fut"] is None:  # partial group still open: fetch it now
+                self._submit_group() if g is self._open_group else None
+            if not isinstance(g["fut"], np.ndarray):
+                g["fut"] = np.asarray(g["fut"])  # join the async copy
+            frames += self._fetch_step(entry, g["fut"][entry[1]])
         return frames
+
+    def _fetch_step(self, entry, packed: np.ndarray):
+        """Materialize one fused step's frames from its fetched record."""
+        _g, _idx, spec, buf_r, buf_i, r_cap = entry
+        rec_w = 20 + 3 * len(spec)
+        rec = packed[:, :rec_w]
+        dec = np.ascontiguousarray(packed[:-1, rec_w:]).view(np.uint8)
+        meta = rec[-1]
+        rec = rec[:-1]
+        res_len_in, keep2, _consumed, incomplete, tiny = meta[:5]
+        lead = r_cap - int(res_len_in)
+        base2 = self._residual_offset - lead
+        self._residual_offset = base2 + int(keep2)
+        if not tiny:
+            self.pending_frame = bool(incomplete)
+        bests = rec[:, 0]
+        cfos = np.ascontiguousarray(rec[:, 2]).view(np.float32)
+        accept = rec[:, 18].astype(bool)
+        match_idx = rec[:, 19]
+        # each candidate's dec row holds its MATCHED spec's decode bytes;
+        # group rows per spec and unpack each group at its own width
+        spec_outs, spec_pos = [], []
+        for s, key in enumerate(spec):
+            rows = np.flatnonzero(accept & (match_idx == s))
+            width = 16 + key[0]  # 14 + payload_len + 2 ok flags
+            f32_s = (
+                np.ascontiguousarray(rec[rows, 20 + 3 * s : 23 + 3 * s])
+                .view(np.float32)
+                .reshape(len(rows), 3)
+            )
+            spec_outs.append(
+                (
+                    self._sync_for(*key),
+                    _unpack_rx(dec[rows, :width], f32_s, key[0]),
+                )
+            )
+            spec_pos.append({int(i): j for j, i in enumerate(rows)})
+        frames = []
+        fallback: dict[tuple, list[tuple[int, int]]] = {}
+        acc_idx = np.flatnonzero(accept)  # iterate only accepted candidates
+        for i in acc_idx[np.argsort(bests[acc_idx], kind="stable")]:
+            off = int(bests[i])
+            s = int(match_idx[i])
+            if s >= 0:
+                sync, out = spec_outs[s]
+                j = spec_pos[s][int(i)]
+                frames.append(
+                    {
+                        "offset": base2 + off,
+                        "stats": sync._stats_from(out, j),
+                        "header": out["headers"][j],
+                        "payload": out["payloads"][j],
+                    }
+                )
+                self._touch_spec(spec[s])
+            else:
+                parsed = unpack_phy_header(rec[i, 12:18].astype(np.uint8))
+                # accept implies a parseable header (phy_valid in-graph)
+                fallback.setdefault(parsed, []).append((off, int(i)))
+        if fallback:
+            frames += self._decode_groups(buf_r, buf_i, fallback, cfos, base2)
+            for key in fallback:
+                self._touch_spec(key)
+            frames.sort(key=lambda f: f["offset"])
+        return frames
+
+    def _touch_spec(self, key: tuple) -> None:
+        """LRU update of the speculative-decode config history (cap 2)."""
+        if self._spec_lru and self._spec_lru[-1] == key:
+            return
+        if key in self._spec_lru:
+            self._spec_lru.remove(key)
+        self._spec_lru.append(key)
+        del self._spec_lru[:-2]

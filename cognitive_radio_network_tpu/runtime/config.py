@@ -21,6 +21,7 @@ __all__ = [
     "scenario_from_dict",
     "load_scenario",
     "load_master",
+    "build_forty_eight_node_scenario",
 ]
 
 
@@ -320,3 +321,73 @@ def load_master(path: str | Path) -> MasterConfig:
         if isinstance(blk, dict) and "name" in blk:
             m.scenarios.append((blk["name"], int(blk.get("reps", default_reps))))
     return m
+
+
+def build_forty_eight_node_scenario(
+    run_time: float = 1.0,
+) -> tuple[ScenarioConfig, "object"]:
+    """The reference's 48-node cap (include/crts.hpp:189) as a runnable
+    scenario: 8 frequency-reuse cells x (2 FDD radio pairs + 2
+    interferers) sharing one 16 MHz medium, cross-cell gain 0 (the celled
+    gain matrix rides the Medium's cell fast path, runtime/medium.py).
+
+    Returns (cfg, gains); callers apply ``ctl.medium.gains = gains``.
+    Shared by bench.py's 48-process section and the netctl process test.
+    """
+    import numpy as np
+
+    common = dict(
+        cognitive_engine="CE_Template",
+        ce_timeout_ms=1000.0,
+        net_mean_throughput=400e3,
+        tx_rate=2e6,
+        rx_rate=2e6,
+        tx_gain=20.0,
+        rx_gain=20.0,
+        tx_gain_soft=-6.0,
+    )
+    nodes = []
+    cells, per_cell = 8, 6
+    for _cell in range(cells):
+        for base in (461e6, 465e6):
+            nodes.append(NodeConfig(tx_freq=base, rx_freq=base + 2e6, **common))
+            nodes.append(NodeConfig(tx_freq=base + 2e6, rx_freq=base, **common))
+        nodes.append(
+            NodeConfig(
+                node_type="interferer",
+                interference_type="cw",
+                tx_freq=470e6,
+                tx_gain=10.0,
+                duty_cycle=0.5,
+                period=0.01,
+            )
+        )
+        nodes.append(
+            NodeConfig(
+                node_type="interferer",
+                interference_type="noise",
+                tx_freq=459e6,
+                tx_gain=5.0,
+            )
+        )
+    assert len(nodes) == cells * per_cell == 48
+    cfg = ScenarioConfig(
+        num_nodes=48,
+        run_time=run_time,
+        nodes=nodes,
+        medium_rate=16e6,
+        medium_center=466e6,
+        medium_block_len=65536,
+        medium_noise_power=1e-8,
+        max_wall_time_s=560.0,
+        # early steps trace/compile under 48-process contention; the
+        # default 120 s trips when other work shares the host
+        net_step_timeout_s=300.0,
+        name="forty_eight_process",
+    )
+    gains = np.zeros((48, 48), np.float32)
+    for c in range(cells):
+        s = c * per_cell
+        gains[s : s + per_cell, s : s + per_cell] = 1.0
+    np.fill_diagonal(gains, 0.0)
+    return cfg, gains

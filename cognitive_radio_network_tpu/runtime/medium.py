@@ -86,6 +86,11 @@ class Medium:
                     if others <= 0:
                         continue  # hears nothing but itself
                     if contributions[i] is None:
+                        # every silent receiver in the cell shares ONE
+                        # `total` ndarray — READ-ONLY invariant: consumers
+                        # (runtime/radio.py) never mutate rx blocks in
+                        # place (they copy via block+noise); an in-place
+                        # edit here would corrupt the other receivers
                         out[i] = total
                     else:
                         own = contributions[i].astype(np.complex64)
@@ -93,9 +98,11 @@ class Medium:
                             np.float32(g_c) * own if g_c != 1.0 else own
                         )
             return out
-        g = self.gains.T[:, active].astype(np.float32)  # (rx, n_active)
-        heard = g.any(axis=1)
-        gc = g.astype(np.complex64)
+        # cast DIRECTLY to complex64: a phase-bearing (complex) gain matrix
+        # must keep its imaginary part (a float32 intermediate silently
+        # dropped it, ADVICE r4)
+        gc = self.gains.T[:, active].astype(np.complex64, copy=False)
+        heard = gc.any(axis=1)
         stack = np.stack([contributions[j] for j in active])
         sig = gc @ stack  # (rx, block)
         return [sig[i] if heard[i] else None for i in range(self.num_nodes)]

@@ -39,12 +39,20 @@ def _block_arange(n: int) -> np.ndarray:
     return np.arange(n, dtype=np.int64)
 
 
-@functools.lru_cache(maxsize=64)
-def _synth_jit(cfg: InterfererConfig, n: int):
-    """One jitted dispatch per waveform block (the eager per-op path cost
-    ~10 CPU dispatches per block — the interferer dominated 8-node scenario
-    profiles)."""
-    return jax.jit(lambda key: synthesize_interference(key, cfg, n))
+@functools.lru_cache(maxsize=32)
+def _waveform_pool(cfg: InterfererConfig, seed: int) -> np.ndarray:
+    """~1M-sample ON-burst pool, synthesized ONCE per (config, seed):
+    fresh per-block jax.random synthesis + fetch was the interferer
+    node's dominant CPU cost (VERDICT r4 #2).  Blocks are served by a
+    cyclic cursor walk over the pool — phase/waveform-continuous within
+    the pool, with a burst-boundary seam every pool length (the reference
+    likewise rebuilds its transmission buffer per ON burst,
+    src/interferer.cpp:423-446).  Deterministic per (config, seed)."""
+    n = 1 << 20
+    return np.ascontiguousarray(
+        np.asarray(synthesize_interference(jax.random.key(seed), cfg, n)),
+        dtype=np.complex64,
+    )
 
 
 class RadioNode:
@@ -168,7 +176,7 @@ class InterfererNode:
         self._sweep_coeff = 1.0
         self._dwell_t = 0.0
         self._cursor = 0
-        self._key = jax.random.key(seed)
+        self._seed = seed
         self.started = False
         self.tx_state = 1
         self._rng = np.random.default_rng(seed)
@@ -227,7 +235,10 @@ class InterfererNode:
         gate = None
         if c.duty_cycle < 1.0:
             period = max(int(round(max(c.period_s, 1e-9) * self.medium_rate)), 1)
-            on = int(round(c.duty_cycle * period))
+            # floor at 1 sample: a sub-sample duty (duty*period < 0.5) must
+            # still emit SOMETHING each period, matching the old fractional
+            # gate's first-sample emission (ADVICE r4)
+            on = max(int(round(c.duty_cycle * period)), 1)
             phase = (self._cursor + _block_arange(n)) % period
             gate = phase < on
             if not gate.any():
@@ -235,13 +246,23 @@ class InterfererNode:
                 return None
             if gate.all():
                 gate = None
-        self._key, sub = jax.random.split(self._key)
-        wf = np.asarray(_synth_jit(c, n)(sub))
+        # serve the block from the synthesized pool at the stream cursor
+        pool = _waveform_pool(c, self._seed)
+        start = self._cursor % len(pool)
+        if start + n <= len(pool):
+            wf = pool[start : start + n]  # view; never mutated below
+        else:
+            parts = [pool[start:]]
+            rem = n - (len(pool) - start)
+            parts += [pool] * (rem // len(pool)) + [pool[: rem % len(pool)]]
+            wf = np.concatenate(parts)
         if gate is not None:
             wf = wf * gate
         # phase-continuous mix to the tx offset via the cached-ramp mixer
         # (same discipline as Radio tx, runtime/radio.py::_mix)
         off = (self.tx_freq - self.medium_center) / self.medium_rate
-        out = _mix(np.ascontiguousarray(wf, np.complex64), off, self._cursor)
+        out = _mix(wf, off, self._cursor)
         self._cursor += n
-        return np.asarray(out, np.complex64)
+        if out is wf and wf.base is not None:
+            out = out.copy()  # never hand a pool view to the medium
+        return out

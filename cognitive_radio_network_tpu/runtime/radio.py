@@ -59,6 +59,14 @@ def _mix_ramp(off: float, n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=256)
+def _soft_gain_f(gain_db: float) -> float:
+    """float(soft_gain(db)), cached: the eager jnp scalar + host fetch
+    cost ~0.5 ms per call and the node loop paid it twice per frame batch
+    (gains change rarely; the cache preserves the exact f32 value)."""
+    return float(soft_gain(gain_db))
+
+
+@functools.lru_cache(maxsize=256)
 def _tx_chain_fn_for(
     cfg: OFDMFrameConfig, payload_len: int, up: int, down: int
 ) -> Callable:
@@ -97,11 +105,15 @@ def _tx_chain_fn(gen: OFDMFrameGen, up: int, down: int) -> Callable:
 
 def _mix(block: np.ndarray, off: float, cursor: int) -> np.ndarray:
     """Phase-continuous mix of ``block`` by ``off`` cycles/sample starting
-    at absolute sample index ``cursor``."""
+    at absolute sample index ``cursor``.  Two passes, one allocation: the
+    scalar rotator is applied in place (the previous ramp*rot pass cost a
+    third pass + allocation per block per node)."""
     if off == 0.0:
         return block
     rot = np.complex64(np.exp(2j * np.pi * ((off * cursor) % 1.0)))
-    return block * (_mix_ramp(off, len(block)) * rot)
+    out = block * _mix_ramp(off, len(block))
+    out *= rot
+    return out
 
 
 @dataclasses.dataclass
@@ -435,8 +447,8 @@ class Radio:
         hpad[:f] = headers
         ppad = np.zeros((fpad, len(payloads[0])), np.uint8)
         ppad[:f] = np.stack(payloads)
-        g = float(soft_gain(self.params.tx_gain_soft)) * float(
-            soft_gain(self.params.tx_gain)
+        g = _soft_gain_f(self.params.tx_gain_soft) * _soft_gain_f(
+            self.params.tx_gain
         )
         up, down = _rate_ratio(self.medium_rate, self.params.tx_rate)
         # ONE fused dispatch for assemble -> gain -> polyphase resample to

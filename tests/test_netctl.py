@@ -397,61 +397,17 @@ class TestManyProcessScenario:
     def test_forty_eight_process_smoke(self):
         """The reference's 48-node cap as REAL OS processes
         (include/crts.hpp:189): 8 cells x (2 FDD pairs + 2 interferers),
-        cross-cell gain 0.  Wall-guarded smoke: the run completes, every
-        radio transmits, and summaries arrive from all 48 processes."""
-        common = dict(
-            cognitive_engine="CE_Template",
-            ce_timeout_ms=1000.0,
-            net_mean_throughput=400e3,
-            tx_rate=2e6,
-            rx_rate=2e6,
-            tx_gain=20.0,
-            rx_gain=20.0,
-            tx_gain_soft=-6.0,
+        cross-cell gain 0 (config.build_forty_eight_node_scenario — the
+        same scenario bench.py runs for a FULL sim-second; here a
+        wall-guarded smoke: the run completes, every radio transmits, and
+        summaries arrive from all 48 processes)."""
+        from cognitive_radio_network_tpu.runtime.config import (
+            build_forty_eight_node_scenario,
         )
-        nodes = []
-        cells, per_cell = 8, 6
-        for _cell in range(cells):
-            for base in (461e6, 465e6):
-                nodes.append(NodeConfig(tx_freq=base, rx_freq=base + 2e6, **common))
-                nodes.append(NodeConfig(tx_freq=base + 2e6, rx_freq=base, **common))
-            nodes.append(
-                NodeConfig(
-                    node_type="interferer",
-                    interference_type="cw",
-                    tx_freq=470e6,
-                    tx_gain=10.0,
-                    duty_cycle=0.5,
-                    period=0.01,
-                )
-            )
-            nodes.append(
-                NodeConfig(
-                    node_type="interferer", interference_type="noise",
-                    tx_freq=459e6, tx_gain=5.0,
-                )
-            )
-        assert len(nodes) == 48
-        cfg = ScenarioConfig(
-            num_nodes=48,
-            run_time=0.02,
-            nodes=nodes,
-            medium_rate=16e6,
-            medium_center=466e6,
-            medium_block_len=65536,
-            medium_noise_power=1e-8,
-            max_wall_time_s=560.0,
-            net_step_timeout_s=300.0,  # early steps trace/compile under
-            # 48-process contention; the default 120 s trips when the full
-            # suite shares the host
-            name="forty_eight_process",
-        )
+
+        cfg, gains = build_forty_eight_node_scenario(run_time=0.02)
+        per_cell = 6
         ctl = NetController(cfg, port=47331, transport="auto", start_pad_s=0.1)
-        gains = np.zeros((48, 48), np.float32)
-        for c in range(cells):
-            s = c * per_cell
-            gains[s : s + per_cell, s : s + per_cell] = 1.0
-        np.fill_diagonal(gains, 0.0)
         ctl.medium.gains = gains
         summary = ctl.run()
         assert not ctl.terminated, "hit the wall-clock guard"
@@ -503,6 +459,60 @@ class TestSshLaunch:
             assert ctl._remote_pid(i) is not None
         # ssh targets carry the configured login
         assert ctl._ssh_hosts == ["tester@127.0.0.1"] * 2
+
+    def test_ssh_launch_env_isolated(self, tmp_path):
+        """Round-4 review item: the plain stub inherits this process's
+        environment and cwd, so it cannot prove the remote command line
+        stands alone.  This stub mimics a real ssh login: `env -i` wipes
+        the environment (fresh HOME, minimal PATH, no JAX/XLA vars, no
+        inherited cwd) before running the remote command — the launch,
+        PID handshake, sysout capture, and scenario must still work from
+        nothing but the command line the controller builds
+        (src/crts_controller.cpp:404-421)."""
+        import sys as _sys
+        from pathlib import Path as _P
+
+        repo = _P(__file__).resolve().parent.parent
+        remote_home = tmp_path / "remote_home"
+        remote_home.mkdir()
+        cache = _P("~/.cache/crn_tpu_xla").expanduser()  # deployment var
+        stub = tmp_path / "fake_ssh_isolated"
+        stub.write_text(
+            "#!/bin/sh\n"
+            "# $1 = user@host, $2 = remote command — run it like a fresh\n"
+            "# ssh login: clean env, remote HOME as cwd\n"
+            f"cd {remote_home} || exit 1\n"
+            'echo "CRN_REMOTE_CWD $(pwd)"\n'
+            'echo "CRN_REMOTE_ENVCOUNT $(env -i env | wc -l)"\n'
+            f"exec env -i HOME={remote_home} PATH=/usr/bin:/bin "
+            f"PYTHONPATH={repo} CRN_COMPILE_CACHE={cache} "
+            'sh -c "$2"\n'
+        )
+        stub.chmod(0o755)
+        cfg = _two_node_scenario()
+        for nc in cfg.nodes:
+            nc.server_ip = "127.0.0.1"
+            nc.server_user = "remoteuser"
+        ctl = NetController(
+            cfg,
+            port=47343,
+            transport="python",
+            launch="ssh",
+            start_pad_s=0.1,
+            ssh_cmd=[str(stub)],
+            remote_python=_sys.executable,
+            sysout_dir=str(tmp_path / "sysout"),
+        )
+        summary = ctl.run()
+        assert sum(summary.valid_frames) > 0
+        for i in range(2):
+            log = tmp_path / "sysout" / f"{cfg.name}_node{i}.log"
+            text = log.read_text()
+            # the "remote" side really ran cwd-isolated...
+            assert f"CRN_REMOTE_CWD {remote_home}" in text, text[:400]
+            # ...and the PID handshake still parsed from the captured log
+            assert ctl._remote_pid(i) is not None
+        assert ctl._ssh_hosts == ["remoteuser@127.0.0.1"] * 2
 
     def test_ssh_forceful_kill_exact_pid(self, tmp_path):
         """A node that never connects (stub sleeps) is remote-killed by

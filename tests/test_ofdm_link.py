@@ -285,3 +285,94 @@ class TestDeviceResidentStreaming:
             np.testing.assert_array_equal(hf["payload"], df["payload"])
             np.testing.assert_array_equal(hf["header"], df["header"])
             assert hf["stats"].mod_scheme == df["stats"].mod_scheme
+
+    def test_pipelined_feed_matches_sync(self, rng):
+        """feed_device with a lag (steps stay in flight, state chained on
+        device) must produce the same frame sequence as the synchronous
+        process_device path."""
+        import jax.numpy as jnp
+
+        from cognitive_radio_network_tpu.phy.framegen import (
+            OFDMFrameConfig,
+            OFDMFrameGen,
+        )
+        from cognitive_radio_network_tpu.phy.framesync import StreamReceiver
+
+        cfg = OFDMFrameConfig()
+        gen = OFDMFrameGen(cfg, 48)
+        f = 5
+        h = rng.integers(0, 256, (f, 8)).astype(np.uint8)
+        p = rng.integers(0, 256, (f, 48)).astype(np.uint8)
+        iq = np.asarray(gen.assemble(h, p))
+        n = 12000
+        stream = 0.003 * (
+            rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        ).astype(np.complex64)
+        pos = 60
+        placed = 0
+        for k in range(f):
+            if pos + iq.shape[1] >= n:
+                break
+            stream[pos : pos + iq.shape[1]] += iq[k]
+            pos += iq.shape[1] + 613
+            placed += 1
+        sync_rx = StreamReceiver(cfg, max_frames_per_block=8)
+        pipe_rx = StreamReceiver(cfg, max_frames_per_block=8)
+        blk = 1536
+        sync_frames, pipe_frames = [], []
+        for s in range(0, n, blk):
+            seg = stream[s : s + blk]
+            br, bi = jnp.asarray(seg.real), jnp.asarray(seg.imag)
+            sync_frames += sync_rx.process_device(br, bi)
+            pipe_frames += pipe_rx.feed_device(br, bi, max_lag=3)
+        pipe_frames += pipe_rx.flush()
+        assert len(sync_frames) == placed
+        assert len(pipe_frames) == len(sync_frames)
+        for sf, pf in zip(sync_frames, pipe_frames):
+            assert sf["offset"] == pf["offset"]
+            np.testing.assert_array_equal(sf["payload"], pf["payload"])
+            np.testing.assert_array_equal(sf["header"], pf["header"])
+
+
+class TestPhyGeometry:
+    def test_matches_generator_sizing(self):
+        """_phy_geometry's in-graph frame lengths must equal OFDMFrameGen's
+        sizing for every (mod, fec0, fec1, crc, payload_len) combination —
+        the in-graph candidate resolution depends on exact lengths."""
+        import itertools
+
+        from cognitive_radio_network_tpu.phy import crc as crc_mod
+        from cognitive_radio_network_tpu.phy import fec as fec_mod
+        from cognitive_radio_network_tpu.phy import modem
+        from cognitive_radio_network_tpu.phy.framegen import (
+            gen_for,
+            pack_phy_header,
+        )
+        from cognitive_radio_network_tpu.phy.framesync import _phy_geometry
+
+        layout = gen_for(OFDMFrameConfig(), 1)
+        combos = list(
+            itertools.product(
+                modem.SCHEMES,
+                fec_mod.SCHEMES,
+                ("none", "v27"),
+                crc_mod.SCHEMES,
+                (1, 40, 256, 1000),
+            )
+        )
+        phys, want = [], []
+        import dataclasses as dc
+
+        for mod, f0, f1, crc, plen in combos:
+            cfg = OFDMFrameConfig(
+                mod_scheme=mod, fec0=f0, fec1=f1, crc_scheme=crc
+            )
+            phys.append(pack_phy_header(cfg, plen))
+            want.append(gen_for(cfg, plen).frame_len)
+        flen, valid = _phy_geometry(layout, jnp.asarray(np.stack(phys)))
+        np.testing.assert_array_equal(np.asarray(flen), want)
+        assert bool(np.asarray(valid).all())
+        # out-of-range scheme ids must be flagged invalid
+        bad = np.array([[4, 0, 99, 0, 0, 0], [4, 0, 0, 9, 9, 9]], np.uint8)
+        _, v = _phy_geometry(layout, jnp.asarray(bad))
+        assert not np.asarray(v).any()

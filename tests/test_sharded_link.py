@@ -271,3 +271,92 @@ class TestShardedLink:
         for f2, f4 in zip(outs[2], outs[4]):
             assert f2["offset"] == f4["offset"]
             np.testing.assert_array_equal(f2["payload"], f4["payload"])
+
+
+class TestDeviceResidentShardedStreaming:
+    """receive_device: the sharded streaming path with device-resident
+    residual carry (round-4 verdict #4) — bit-matches receive() on the
+    same blocks, and never re-uploads a full buffer from the host."""
+
+    def test_bitmatch_and_no_full_buffer_upload(self, rng, monkeypatch):
+        cfg_a = OFDMFrameConfig()
+        cfg_b = OFDMFrameConfig(mod_scheme="qam16", fec0="v27", fec1="none")
+        gen_a = OFDMFrameGen(cfg_a, payload_len=40)
+        gen_b = OFDMFrameGen(cfg_b, payload_len=96)
+        pay_a = rng.integers(0, 256, (3, 40)).astype(np.uint8)
+        pay_b = rng.integers(0, 256, (3, 96)).astype(np.uint8)
+        hdr = rng.integers(0, 256, (6, 8)).astype(np.uint8)
+        iq_a = np.asarray(gen_a.assemble(hdr[:3], pay_a))
+        iq_b = np.asarray(gen_b.assemble(hdr[3:], pay_b))
+        gap = np.zeros(700, np.complex64)
+        stream = np.concatenate(
+            [gap, iq_a[0], gap, iq_b[0], gap, iq_a[1], gap, iq_b[1],
+             gap, iq_a[2], gap, iq_b[2], gap, gap]
+        )
+        host_rx = ShardedStreamReceiver(cfg_a, _mesh(), k_per_shard=8)
+        dev_rx = ShardedStreamReceiver(cfg_a, _mesh(), k_per_shard=8)
+        blk = max(gen_a.frame_len, gen_b.frame_len) - 97  # force straddlers
+        # stage every block on device OUTSIDE the instrumented region
+        # (an upstream jitted producer would leave them there)
+        blocks = []
+        for s in range(0, len(stream), blk):
+            seg = stream[s : s + blk]
+            blocks.append(
+                (seg, jnp.asarray(seg.real.copy()), jnp.asarray(seg.imag.copy()))
+            )
+        # instrument host->device uploads: receive_device must never move
+        # more than control-plane-sized host data (decode offsets etc.)
+        uploads = []
+        real_put = jax.device_put
+
+        def spy_put(x, *a, **k):
+            for leaf in jax.tree_util.tree_leaves(x):
+                if isinstance(leaf, np.ndarray):
+                    uploads.append(leaf.size)
+            return real_put(x, *a, **k)
+
+        got_host, got_dev = [], []
+        for seg, br, bi in blocks:
+            got_host += host_rx.receive(seg)
+            monkeypatch.setattr(jax, "device_put", spy_put)
+            try:
+                got_dev += dev_rx.receive_device(br, bi)
+            finally:
+                monkeypatch.setattr(jax, "device_put", real_put)
+        assert len(got_dev) == len(got_host) == 6
+        for a, b in zip(got_dev, got_host):
+            assert a["offset"] == b["offset"]
+            np.testing.assert_array_equal(a["payload"], b["payload"])
+            np.testing.assert_array_equal(a["header"], b["header"])
+            assert a["stats"].mod_scheme == b["stats"].mod_scheme
+            assert a["stats"].payload_valid
+        # the host path uploads the full padded buffer every call; the
+        # device path must not upload anything block-sized at all
+        assert not uploads or max(uploads) < blk // 4, uploads
+
+    def test_partial_frame_carry_on_device(self, rng):
+        """Residual carry across receive_device calls: a block ending
+        mid-frame yields the frame on the NEXT call, bit-matching the
+        host-residual path."""
+        cfg = OFDMFrameConfig()
+        gen = OFDMFrameGen(cfg, payload_len=64)
+        hdr = rng.integers(0, 256, (1, 8)).astype(np.uint8)
+        pay = rng.integers(0, 256, (1, 64)).astype(np.uint8)
+        iq = np.asarray(gen.assemble(hdr, pay))[0]
+        lead = np.zeros(900, np.complex64)
+        stream = np.concatenate([lead, iq, np.zeros(400, np.complex64)])
+        cut = 900 + gen.frame_len // 2  # mid-frame
+        rx = ShardedStreamReceiver(cfg, _mesh(), k_per_shard=4)
+        first = rx.receive_device(
+            jnp.asarray(stream[:cut].real.copy()),
+            jnp.asarray(stream[:cut].imag.copy()),
+        )
+        assert first == []
+        assert rx.pending_frame
+        second = rx.receive_device(
+            jnp.asarray(stream[cut:].real.copy()),
+            jnp.asarray(stream[cut:].imag.copy()),
+        )
+        assert len(second) == 1
+        assert abs(second[0]["offset"] - 900) <= 2
+        np.testing.assert_array_equal(second[0]["payload"], pay[0])

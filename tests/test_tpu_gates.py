@@ -37,6 +37,12 @@ class TestOnChipGates:
     def test_fused_wideband_history_seed(self):
         tpu_gates.gate_sharded_wideband_history(np.random.default_rng(1))
 
+    def test_perf_floors(self):
+        """~10 s perf smoke: the chip numbers must not silently collapse
+        (floors are generous — far below normal variance, far above any
+        real regression; tpu_gates.PERF_FLOORS, shared with bench.py)."""
+        tpu_gates.gate_perf_floors(np.random.default_rng(2))
+
     def test_scenario_nodes_survive_ambient_backend(self):
         """Round-4 regression: under the ambient TPU backend, the scenario
         runtime's phy_placement="host" context must route kernel selection

@@ -232,3 +232,129 @@ def gate_sharded_wideband_history(rng=None) -> None:
         atol=1e-5,
         err_msg="history-seeded fused wideband diverges on hardware",
     )
+
+
+# ----------------------------------------------------------------------
+# perf floors (round-5): generous bounds far below normal variance but
+# far above any real regression — shared by bench.py (asserted on the
+# median-of-trials figures) and the -m tpu smoke below, so a silent 2x
+# collapse of a chip number fails loudly instead of shipping.
+# Context (BENCH_r01-r04 medians): sense ~34000, wideband ~19000,
+# fixed-rx ~1000, adaptive (round-5 fused path) ~150-215.
+# ----------------------------------------------------------------------
+
+PERF_FLOORS = {
+    "sense_msps": 15000.0,
+    "wideband_msps": 8000.0,
+    "ofdm_link_msps": 400.0,
+    "adaptive_link_msps": 80.0,
+}
+
+
+def gate_perf_floors(rng=None) -> None:
+    """On-chip perf smoke (~30 s): the sense, wideband, and fixed-rx
+    paths against PERF_FLOORS (the adaptive floor is asserted by
+    bench.py, whose fixture stream is too heavy for a smoke).  Each
+    figure is the BEST of 3 trials: a floor detects a kernel COLLAPSE
+    (wrong lowering, lost fusion), not environment noise — on the
+    tunneled backend a single trial can under-read 2-4x under host or
+    tunnel contention (the round-4 driver capture did), and if any trial
+    reaches the floor the kernel is healthy.  Dispatch sizes match
+    bench.py: smaller batches measure the ~0.5-0.7 ms dispatch overhead,
+    not the kernel."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from cognitive_radio_network_tpu.models import SenseConfig, make_sense_fn
+    from cognitive_radio_network_tpu.ops.fused_wideband import (
+        wideband_energy_fused,
+    )
+    from cognitive_radio_network_tpu.parallel.wideband import WidebandConfig
+    from cognitive_radio_network_tpu.signal.channelizer import polyphase_taps
+    from cognitive_radio_network_tpu.signal.mlp import reference_weights
+
+    rng = rng or np.random.default_rng(0)
+
+    def best_of(measure, trials=3):
+        return max(measure() for _ in range(trials))
+
+    cfg = SenseConfig()
+    fn = make_sense_fn(cfg)
+    params = reference_weights()
+    cycles = 4096  # bench dispatch size
+    n = cycles * cfg.samples_per_cycle
+    iq = (
+        jnp.asarray(
+            rng.standard_normal(
+                (cycles * cfg.averaging, cfg.fft_length), dtype=np.float32
+            )
+        ),
+        jnp.asarray(
+            rng.standard_normal(
+                (cycles * cfg.averaging, cfg.fft_length), dtype=np.float32
+            )
+        ),
+    )
+    for _ in range(3):
+        out = fn(iq, params)
+    _ = np.asarray(out["decision"][:1])
+
+    def sense_once():
+        reps = 32
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(iq, params)
+        _ = np.asarray(out["decision"][:1])
+        return reps * n / (time.perf_counter() - t0) / 1e6
+
+    sense = best_of(sense_once)
+    assert sense >= PERF_FLOORS["sense_msps"], (
+        f"sense collapsed: {sense:.0f} < {PERF_FLOORS['sense_msps']} MS/s"
+    )
+
+    wcfg = WidebandConfig()
+    wtaps = jnp.asarray(
+        polyphase_taps(wcfg.num_channels, wcfg.taps_per_channel)
+    )
+    wfn = jax.jit(
+        lambda a, b: wideband_energy_fused(a, b, wtaps, wcfg, precision="high")
+    )
+    t_chan = 524288  # bench streaming block size
+    wn = t_chan * wcfg.num_channels
+    wxr = jnp.asarray(rng.standard_normal(wn, dtype=np.float32))
+    wxi = jnp.asarray(rng.standard_normal(wn, dtype=np.float32))
+    for _ in range(3):
+        wout = wfn(wxr, wxi)
+    _ = np.asarray(wout[:1, :1])
+
+    def wideband_once():
+        wreps = 12
+        t0 = time.perf_counter()
+        for _ in range(wreps):
+            wout = wfn(wxr, wxi)
+        _ = np.asarray(wout[:1, :1])
+        return wreps * wn / (time.perf_counter() - t0) / 1e6
+
+    wideband = best_of(wideband_once)
+    assert wideband >= PERF_FLOORS["wideband_msps"], (
+        f"wideband collapsed: {wideband:.0f} < "
+        f"{PERF_FLOORS['wideband_msps']} MS/s"
+    )
+
+    orr_d, ori_d, nvalid_d, rxfn, F, n_link = gate_ofdm_decode(rng)
+
+    def fixed_once():
+        oreps = 32
+        t0 = time.perf_counter()
+        for _ in range(oreps):
+            _b, _p, _c, _o, ok = rxfn(orr_d, ori_d, nvalid_d)
+        _ = np.asarray(ok[:1])
+        return oreps * n_link / (time.perf_counter() - t0) / 1e6
+
+    fixed_rx = best_of(fixed_once)
+    assert fixed_rx >= PERF_FLOORS["ofdm_link_msps"], (
+        f"fixed-rx collapsed: {fixed_rx:.0f} < "
+        f"{PERF_FLOORS['ofdm_link_msps']} MS/s"
+    )
