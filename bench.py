@@ -355,7 +355,7 @@ def main() -> None:
     assert mods[1::2] == ["qam16"] * (F_ad // 2)
 
     def adaptive_trial():
-        passes = 4
+        passes = 6
         t0 = time.perf_counter()
         af = adaptive_pass(passes)
         ael = time.perf_counter() - t0
@@ -497,7 +497,7 @@ def main() -> None:
     )
 
     cfg48, gains48 = build_forty_eight_node_scenario(run_time=1.0)
-    cfg48.max_wall_time_s = 420.0
+    cfg48.max_wall_time_s = 520.0
     ctl48 = NetController(cfg48, port=47497, start_pad_s=2.0)
     ctl48.medium.gains = gains48
     ctl48.run()

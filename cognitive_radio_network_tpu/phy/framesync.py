@@ -841,12 +841,12 @@ def _stream_step_graph(
     round trip.
 
     Returns (new_res_r, new_res_i, new_res_len, buf_r, buf_i, packed)
-    where ``packed`` is ONE int32 array (k+1, 20 + 3*S + ceil(W/4)): cols
-    0..19+3S, rows 0..k-1 = [best, peak.bits, cfo.bits, hdr_ok, hdr[8],
-    phy[6], accept, match_idx, then per spec (evm, rssi, cfo).bits]; row k
-    = meta [res_len_in, keep_from, consumed_end, incomplete, tiny, 0...];
-    the remaining columns are each candidate's MATCHED-spec decode bytes
-    (uint8 (k, Wmax), Wmax = max_s(16 + P_s)) packed little-endian
+    where ``packed`` is ONE int32 array (k+1, 4 + 2*S + ceil(W/4)): cols
+    0..3+2S, rows 0..k-1 = [best, cfo.bits, accept, match_idx, then per
+    spec (evm, rssi).bits]; row k = meta [res_len_in, keep_from,
+    consumed_end, incomplete, tiny, 0...]; the remaining columns are each
+    candidate's MATCHED-spec decode bytes (uint8 (k, Wmax), Wmax =
+    max_s(16 + P_s), headers/phy/ok flags included) packed little-endian
     4-bytes-per-word.  One host-fetchable output per step, because each
     fetched array costs a full host round trip on tunneled backends.
     """
@@ -936,27 +936,31 @@ def _stream_step_graph(
         dec_bytes.append(db)
         dec_f32.append(df)
 
+    # minimal record: the decoded user header rides the DECODE bytes, the
+    # per-spec cfo column is the scan cfo — only [best, cfo, accept,
+    # match, phy[6]] plus per-spec (evm, rssi) is fetched.  The PHY header
+    # comes from the SCAN (not the dec bytes): a mismatched candidate's
+    # speculative decode window (the spec's frame length, possibly longer
+    # than the real frame) can clip at the buffer end and garble its dec
+    # row, and the fallback path needs the exact phy to resolve configs.
+    # The fetch link runs at ~60 MB/s with ~25 ms latency; every byte is
+    # throughput.
     cols = [
         bests.astype(jnp.int32)[:, None],
-        jax.lax.bitcast_convert_type(peaks.astype(jnp.float32), jnp.int32)[
-            :, None
-        ],
         jax.lax.bitcast_convert_type(cfos.astype(jnp.float32), jnp.int32)[
             :, None
         ],
-        hdr_ok.astype(jnp.int32)[:, None],
-        headers.astype(jnp.int32),
-        phy.astype(jnp.int32),
         accept.astype(jnp.int32)[:, None],
         match_idx[:, None],
-        # per-spec (evm, rssi, cfo) ride the record as bitcast columns —
-        # every extra output array is an extra device->host round trip
+        phy.astype(jnp.int32),
         *(
-            jax.lax.bitcast_convert_type(df.astype(jnp.float32), jnp.int32)
+            jax.lax.bitcast_convert_type(
+                df[:, :2].astype(jnp.float32), jnp.int32
+            )
             for df in dec_f32
         ),
     ]
-    rec = jnp.concatenate(cols, axis=1)  # (k, 20 + 3*S)
+    rec = jnp.concatenate(cols, axis=1)  # (k, 10 + 2*S)
     meta = jnp.stack(
         [
             res_len.astype(jnp.int32),
@@ -967,13 +971,15 @@ def _stream_step_graph(
         ]
     )
     meta = jnp.pad(meta, (0, rec.shape[1] - meta.shape[0]))
-    rec = jnp.concatenate([rec, meta[None, :]], axis=0)  # (k+1, 20+3S)
+    rec = jnp.concatenate([rec, meta[None, :]], axis=0)  # (k+1, 10+2S)
     # per candidate, keep ONLY the decode bytes of its MATCHED spec (the
-    # other spec's decode is garbage for it anyway): the fetch link runs at
-    # ~60 MB/s with ~25 ms latency, so every byte fetched is throughput
+    # other spec's decode is garbage for it anyway); unmatched candidates
+    # default to spec 0's bytes, whose header columns are still exact
     wmax = max(db.shape[1] for db in dec_bytes)
-    dec = jnp.zeros((dec_bytes[0].shape[0], wmax), jnp.uint8)
-    for s, db in enumerate(dec_bytes):
+    dec = jnp.pad(
+        dec_bytes[0], ((0, 0), (0, wmax - dec_bytes[0].shape[1]))
+    )
+    for s, db in enumerate(dec_bytes[1:], start=1):
         dbp = jnp.pad(db, ((0, 0), (0, wmax - db.shape[1])))
         dec = jnp.where(match_idx[:, None] == s, dbp, dec)
     # pack the decode bytes into int32 words (little-endian) and append to
@@ -1370,7 +1376,7 @@ class StreamReceiver:
     def _fetch_step(self, entry, packed: np.ndarray):
         """Materialize one fused step's frames from its fetched record."""
         _g, _idx, spec, buf_r, buf_i, r_cap = entry
-        rec_w = 20 + 3 * len(spec)
+        rec_w = 10 + 2 * len(spec)
         rec = packed[:, :rec_w]
         dec = np.ascontiguousarray(packed[:-1, rec_w:]).view(np.uint8)
         meta = rec[-1]
@@ -1382,20 +1388,22 @@ class StreamReceiver:
         if not tiny:
             self.pending_frame = bool(incomplete)
         bests = rec[:, 0]
-        cfos = np.ascontiguousarray(rec[:, 2]).view(np.float32)
-        accept = rec[:, 18].astype(bool)
-        match_idx = rec[:, 19]
+        cfos = np.ascontiguousarray(rec[:, 1]).view(np.float32)
+        accept = rec[:, 2].astype(bool)
+        match_idx = rec[:, 3]
         # each candidate's dec row holds its MATCHED spec's decode bytes;
-        # group rows per spec and unpack each group at its own width
+        # group rows per spec and unpack each group at its own width (the
+        # per-candidate cfo is the scan's — the decode does not change it)
         spec_outs, spec_pos = [], []
         for s, key in enumerate(spec):
             rows = np.flatnonzero(accept & (match_idx == s))
             width = 16 + key[0]  # 14 + payload_len + 2 ok flags
-            f32_s = (
-                np.ascontiguousarray(rec[rows, 20 + 3 * s : 23 + 3 * s])
+            er = (
+                np.ascontiguousarray(rec[rows, 10 + 2 * s : 12 + 2 * s])
                 .view(np.float32)
-                .reshape(len(rows), 3)
+                .reshape(len(rows), 2)
             )
+            f32_s = np.column_stack([er, cfos[rows]])
             spec_outs.append(
                 (
                     self._sync_for(*key),
@@ -1422,7 +1430,9 @@ class StreamReceiver:
                 )
                 self._touch_spec(spec[s])
             else:
-                parsed = unpack_phy_header(rec[i, 12:18].astype(np.uint8))
+                # the scan's exact PHY header (rec cols 4..10); a
+                # mismatched candidate's dec row may be window-clipped
+                parsed = unpack_phy_header(rec[i, 4:10].astype(np.uint8))
                 # accept implies a parseable header (phy_valid in-graph)
                 fallback.setdefault(parsed, []).append((off, int(i)))
         if fallback:

@@ -54,6 +54,12 @@ class NodeConfig:
     # src/extensible_cognitive_radio.cpp:1326-1347):
     # drop every Nth rx block (0 = never) -> UHD_OVERFLOW event
     rx_overflow_interval: int = 0
+    # rx frame-scan batching (CPU/latency tradeoff, no reference .cfg
+    # equivalent): scan every N accumulated hot blocks instead of each
+    # block.  N=1 is the exact per-block behavior; N=2 halves per-node
+    # scan CPU at <= one block (~4 ms) extra receive latency — far below
+    # every CE timescale (100 ms+).  Cold blocks flush the accumulator.
+    rx_scan_blocks: int = 1
     # detect continuous-tx starvation mid-burst -> UHD_UNDERRUN event
     tx_underrun_detect: bool = False
     log_phy_rx: bool = False
@@ -345,6 +351,7 @@ def build_forty_eight_node_scenario(
         tx_gain=20.0,
         rx_gain=20.0,
         tx_gain_soft=-6.0,
+        rx_scan_blocks=2,  # scan batching: per-node CPU, +<=1 block latency
     )
     nodes = []
     cells, per_cell = 8, 6

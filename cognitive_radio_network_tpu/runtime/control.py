@@ -93,6 +93,7 @@ def build_node(i: int, nc: NodeConfig, mcfg: MediumConfig, log_sink):
     r = node.radio
     r.print_rx_frame_metrics = nc.print_rx_frame_metrics
     r.underrun_detect = nc.tx_underrun_detect
+    r.rx_scan_accumulate = max(int(nc.rx_scan_blocks), 1)
     # receiver-referred thermal noise (runtime/medium.py): deterministic
     # per (scenario seed, node index) in BOTH the in-process and the
     # distributed runtime, so the two modes stay block-for-block identical

@@ -218,6 +218,14 @@ class Radio:
         # decays, so a link whose partner turns its gain down is re-acquired.
         self.rx_squelch_ib_margin = 0.1  # 10 dB below decoded-frame level
         self.rx_squelch_ib_probe = 16
+        # rx frame-scan batching (NodeConfig.rx_scan_blocks): accumulate N
+        # hot baseband blocks and scan once — frames span ~2 blocks at the
+        # default rates, so per-block scanning rescans the straddle
+        # residual every time; batched, each sample is scanned ~once.
+        # N=1 (default) is exact per-block behavior; cold blocks flush.
+        self.rx_scan_accumulate = 1
+        self._rx_acc: list[np.ndarray] = []
+        self._rx_acc_pw: list[float] = []
         self._rx_noise_floor: float | None = None
         self._rx_blocks_seen = 0
         self._rx_hot_prev = True
@@ -553,9 +561,13 @@ class Radio:
         self._rx = StreamReceiver(self._rx_cfg())
         self._rx_dirty = False
         self._rx_resid_sens = np.zeros(0, np.complex64)
-        # a retune changes what "in band" means: relearn the reference
+        # a retune changes what "in band" means: relearn the reference;
+        # accumulated pre-retune samples are dropped (the reference's
+        # synchronizer likewise loses sync across a retune)
         self._ib_signal_ref = None
         self._ib_squelch_run = 0
+        self._rx_acc = []
+        self._rx_acc_pw = []
 
     def _noise_slice(self, n: int) -> np.ndarray:
         """Receiver thermal noise: ``n`` complex samples at rx_noise_power.
@@ -643,6 +655,7 @@ class Radio:
         if squelch and not self.ce_sensing:
             self._rx_sample_cursor += n
             if self.rx_running and self._rx is not None:
+                self._flush_rx_acc(t)  # skip() discards the residual
                 up, down = _rate_ratio(self.params.rx_rate, self.medium_rate)
                 self._rx.skip(-(-n * up // down))
             return
@@ -665,6 +678,7 @@ class Radio:
             if self.ce_sensing:
                 self._deliver_sensing(base, t)
             if self.rx_running and self._rx is not None:
+                self._flush_rx_acc(t)
                 self._rx.skip(len(base))
             return
 
@@ -695,9 +709,40 @@ class Radio:
             if not ib_hot and not self._rx.pending_frame and not probe:
                 self._ib_squelch_run += 1
                 self._ib_signal_ref *= 0.998  # re-acquire a quieter link
+                self._flush_rx_acc(t)  # carry() expects stream order
                 self._rx.carry(base)
                 return
             self._ib_squelch_run = 0
+        if self.rx_scan_accumulate > 1:
+            # hot-block scan batching (rx_scan_blocks, see __init__)
+            self._rx_acc.append(base)
+            self._rx_acc_pw.append(ibp)
+            if len(self._rx_acc) < self.rx_scan_accumulate:
+                return
+            base = np.concatenate(self._rx_acc)
+            ibp = float(np.mean(self._rx_acc_pw))
+            self._rx_acc = []
+            self._rx_acc_pw = []
+        self._process_rx_buffer(base, ibp, t)
+
+    def _flush_rx_acc(self, t: float) -> None:
+        """Scan any accumulated hot blocks NOW (a cold block, squelch skip,
+        or retune ends the batch)."""
+        if not self._rx_acc:
+            return
+        base = (
+            self._rx_acc[0]
+            if len(self._rx_acc) == 1
+            else np.concatenate(self._rx_acc)
+        )
+        ibp = float(np.mean(self._rx_acc_pw))
+        self._rx_acc = []
+        self._rx_acc_pw = []
+        self._process_rx_buffer(base, ibp, t)
+
+    def _process_rx_buffer(self, base: np.ndarray, ibp: float, t: float) -> None:
+        """Frame-scan a baseband buffer and deliver its frames (events,
+        stats, packet sink, logs, squelch-reference learning)."""
         decoded_any = False
         for f in self._rx.process(base):
             s = f["stats"]

@@ -241,3 +241,59 @@ class TestInBandSquelch:
             r._ib_signal_ref,
         )
         assert r._ib_signal_ref < ref_before / 2
+
+
+class TestRxScanBatching:
+    """rx_scan_blocks > 1 (runtime/config.py): hot blocks accumulate and
+    scan in one pass — every frame still decodes, payload-identical to the
+    per-block receiver, at most one block later; cold blocks flush."""
+
+    def test_batched_scan_decodes_all_frames(self, rng):
+        from cognitive_radio_network_tpu.phy.framegen import (
+            OFDMFrameConfig,
+            OFDMFrameGen,
+        )
+        from cognitive_radio_network_tpu.signal.resample import resample_poly
+
+        gen = OFDMFrameGen(OFDMFrameConfig(), 64)
+
+        def radio(acc):
+            r = Radio(4e6, 465e6)
+            r.params.rx_freq = 465e6
+            r.params.rx_rate = 1e6
+            r.rx_noise_power = 1e-9
+            r.rx_scan_accumulate = acc
+            r.start_rx()
+            return r
+
+        f = 10
+        hdr = rng.integers(0, 256, (f, 8)).astype(np.uint8)
+        pay = rng.integers(0, 256, (f, 64)).astype(np.uint8)
+        iq = resample_poly(np.asarray(gen.assemble(hdr, pay)), 4, 1)
+        block = 16384
+        blocks = []
+        for k in range(f):  # one frame per hot block + straddler into next
+            b = np.zeros(block, np.complex64)
+            off = 1000 + (k % 3) * 2000
+            end = min(off + iq.shape[1], block)
+            b[off:end] = iq[k, : end - off]
+            blocks.append(b)
+            if end - off < iq.shape[1]:  # tail spills into a second block
+                b2 = np.zeros(block, np.complex64)
+                b2[: iq.shape[1] - (end - off)] = iq[k, end - off :]
+                blocks.append(b2)
+        blocks.append(np.zeros(block, np.complex64))  # cold: flush
+        blocks.append(np.zeros(block, np.complex64))
+        r1, r2 = radio(1), radio(2)
+        for i, b in enumerate(blocks):
+            r1.push_rx_block(b.copy(), i * 0.01)
+            r2.push_rx_block(b.copy(), i * 0.01)
+        n1 = len(r1.stats.records)
+        n2 = len(r2.stats.records)
+        assert n1 == f, n1
+        assert n2 == f, n2
+        e1 = [m for m in r1.drain_events()]
+        e2 = [m for m in r2.drain_events()]
+        pay1 = [bytes(m.payload) for m in e1 if m.payload is not None]
+        pay2 = [bytes(m.payload) for m in e2 if m.payload is not None]
+        assert pay1 == pay2 == [bytes(p) for p in pay]
