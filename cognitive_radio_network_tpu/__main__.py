@@ -189,6 +189,19 @@ def main(argv=None) -> int:
         "--transport", choices=("auto", "native", "python"), default="auto"
     )
 
+    rh = sub.add_parser(
+        "radio-host",
+        help="third-party radio child process (the reference's "
+        "execvp'd python radio, src/crts_cognitive_radio.cpp:660-720): "
+        "loads a user radio file and serves the stdin/stdout step "
+        "protocol for a parent node (runtime/procradio.py)",
+    )
+    rh.add_argument("python_file")
+    rh.add_argument("--node-id", type=int, required=True)
+    rh.add_argument("--medium-rate", type=float, required=True)
+    rh.add_argument("--medium-center", type=float, required=True)
+    rh.add_argument("--config-json", required=True)
+
     mp = sub.add_parser("master", help="run a master scenario list")
     mp.add_argument("path")
     mp.add_argument("-l", "--log-dir", default="logs")
@@ -243,6 +256,17 @@ def main(argv=None) -> int:
         from cognitive_radio_network_tpu.runtime.netctl import run_node_client
 
         return run_node_client(args.controller, args.port, args.transport)
+
+    if args.cmd == "radio-host":
+        from cognitive_radio_network_tpu.runtime.procradio import run_radio_host
+
+        return run_radio_host(
+            args.python_file,
+            args.node_id,
+            args.medium_rate,
+            args.medium_center,
+            args.config_json,
+        )
 
     if args.cmd == "engines":
         print("cognitive engines:", ", ".join(engine_names()))

@@ -62,11 +62,21 @@ def build_node(i: int, nc: NodeConfig, mcfg: MediumConfig, log_sink):
         return InterfererNode(
             i, mcfg.sample_rate_hz, mcfg.center_hz, icfg, log_sink, seed=i
         )
+    if nc.cognitive_radio_type == "python-process":
+        # third-party radio as its OWN OS PROCESS — the reference's
+        # isolation model (fork + execvp("python", cognitive_radios/<file>),
+        # src/crts_cognitive_radio.cpp:660-720): the child owns the radio;
+        # a crash surfaces as a node failure, not a runtime crash
+        from cognitive_radio_network_tpu.runtime.procradio import (
+            ProcessRadioNode,
+        )
+
+        return ProcessRadioNode(i, mcfg.sample_rate_hz, mcfg.center_hz, nc)
     if nc.cognitive_radio_type == "python":
-        # third-party radio support: the reference forks a python process
-        # (src/crts_cognitive_radio.cpp:660-720); here the file is loaded
-        # in-process and must expose
+        # third-party radio support, in-process variant: the same
         # create_node(node_id, medium_rate, medium_center, config)
+        # contract loaded into this interpreter (lighter, no isolation —
+        # use "python-process" for the reference's fork semantics)
         import importlib.util
 
         spec = importlib.util.spec_from_file_location(

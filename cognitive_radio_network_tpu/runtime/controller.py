@@ -223,6 +223,13 @@ class ScenarioRuntime:
                 self.steady_t = self.t - t_k0 if wall_q is not None else 0.0
         finally:
             self.log.flush()  # persist spill logs even on abnormal exit
+            for node in self.nodes:  # e.g. ProcessRadioNode child reaping
+                closer = getattr(node, "close", None)
+                if callable(closer):
+                    try:
+                        closer()
+                    except Exception:
+                        pass
         bytes_sent, bytes_rcvd, frames, valid = [], [], [], []
         for node in self.nodes:
             if isinstance(node, InterfererNode) or not isinstance(node, RadioNode):

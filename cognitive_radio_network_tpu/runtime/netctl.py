@@ -976,6 +976,13 @@ def _run_node_client_inner(
     finally:
         if "placement" in locals():
             placement.__exit__(None, None, None)
+        if "node" in locals():  # e.g. ProcessRadioNode child reaping
+            closer = getattr(node, "close", None)
+            if callable(closer):
+                try:
+                    closer()
+                except Exception:
+                    pass
         conn.close()
 
 

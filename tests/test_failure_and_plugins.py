@@ -215,3 +215,84 @@ class TestPythonRadio:
         rt.run()
         assert type(rt.nodes[1]).__name__ == "SilentNode"
         assert rt.nodes[1].blocks_seen > 10
+
+
+PROC_RADIO = '''
+import sys
+from cognitive_radio_network_tpu.runtime.config import NodeConfig
+from cognitive_radio_network_tpu.runtime.control import build_node
+from cognitive_radio_network_tpu.runtime.medium import MediumConfig
+
+def create_node(node_id, medium_rate, medium_center, config):
+    # a third-party radio built FROM the framework itself: a full ECR-style
+    # radio node with traffic, running inside the radio-host child process
+    print("user radio stdout noise", node_id)  # must not corrupt protocol
+    mcfg = MediumConfig(sample_rate_hz=medium_rate, center_hz=medium_center)
+    nc = NodeConfig(**{k: v for k, v in vars(config).items()})
+    nc.cognitive_radio_type = "ecr"
+    return build_node(node_id, nc, mcfg, None)
+'''
+
+CRASHY_RADIO = '''
+class CrashyNode:
+    def __init__(self, node_id):
+        self.node_id = node_id
+        self.blocks = 0
+        self.started = False
+    def start(self): self.started = True
+    def poll_traffic(self, t): pass
+    def pull_tx_block(self, n): return None
+    def push_rx_block(self, block, t):
+        self.blocks += 1
+        if self.blocks >= 5:
+            raise RuntimeError("user radio bug")
+    def push_rx_silence(self, n, t): self.push_rx_block(None, t)
+    def run_ce(self, t): pass
+    def drain_rx_packets(self, t): pass
+
+def create_node(node_id, medium_rate, medium_center, config):
+    return CrashyNode(node_id)
+'''
+
+
+class TestProcessRadio:
+    """cognitive_radio_type="python-process": the third-party radio runs
+    as its OWN OS process (the reference's fork+execvp isolation model,
+    src/crts_cognitive_radio.cpp:660-720), stepped over a pipe protocol
+    (runtime/procradio.py)."""
+
+    def test_process_radio_carries_a_live_link(self, tmp_path):
+        """An external radio process transmits REAL frames that the
+        in-process ECR partner decodes — full data plane through the
+        child, with user stdout noise that must not corrupt the pipe."""
+        f = tmp_path / "proc_radio.py"
+        f.write_text(PROC_RADIO)
+        cfg = _tiny_scenario()
+        cfg.run_time = 0.3
+        cfg.nodes[1].cognitive_radio_type = "python-process"
+        cfg.nodes[1].python_file = str(f)
+        rt = ScenarioRuntime(cfg)
+        rt.run()
+        assert not rt.failed_nodes, rt.failed_nodes
+        assert type(rt.nodes[1]).__name__ == "ProcessRadioNode"
+        # node 0 (in-process ECR) received the child process's frames
+        assert len(rt.nodes[0].radio.stats.records) > 0
+        assert rt.nodes[1]._proc.poll() is not None  # child reaped
+
+    def test_crashing_process_radio_is_isolated(self, tmp_path):
+        """A buggy user radio kills ITS process, not the scenario: the
+        node is marked failed, everything else keeps running — the
+        isolation the in-process plugin path cannot give."""
+        f = tmp_path / "crashy_radio.py"
+        f.write_text(CRASHY_RADIO)
+        cfg = _tiny_scenario()
+        cfg.run_time = 0.3
+        cfg.on_node_failure = "continue"  # the policy under test
+        cfg.nodes[1].cognitive_radio_type = "python-process"
+        cfg.nodes[1].python_file = str(f)
+        rt = ScenarioRuntime(cfg)
+        rt.run()
+        assert 1 in rt.failed_nodes, rt.failed_nodes
+        assert 0 not in rt.failed_nodes
+        # the run completed (node 0 kept stepping to the end)
+        assert rt.t >= cfg.run_time
