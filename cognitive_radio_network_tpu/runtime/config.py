@@ -40,9 +40,16 @@ class NodeConfig:
     crts_ip: str = "10.0.0.2"
     target_ip: str = "10.0.0.3"
 
-    net_traffic_type: str = "stream"
+    net_traffic_type: str = "stream"  # stream | burst | poisson | udp
     net_burst_length: int = 1
     net_mean_throughput: float = 1e6
+    # net_traffic_type="udp": real-application data plane (the reference's
+    # TUN+UDP capability class, runtime/traffic.py::UdpBridge) — ingress
+    # datagrams on udp_listen_port ride the link; decoded payloads are
+    # forwarded to (udp_forward_addr, udp_forward_port)
+    udp_listen_port: int = 0  # 0 = ephemeral (read node.udp_bridge.listen_port)
+    udp_forward_addr: str = "127.0.0.1"
+    udp_forward_port: int = 0  # 0 = do not forward
 
     cognitive_engine: str = "CE_Template"
     ce_timeout_ms: float = 1000.0

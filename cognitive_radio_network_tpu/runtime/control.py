@@ -85,6 +85,14 @@ def build_node(i: int, nc: NodeConfig, mcfg: MediumConfig, log_sink):
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         return mod.create_node(i, mcfg.sample_rate_hz, mcfg.center_hz, nc)
+    bridge = None
+    if nc.net_traffic_type == "udp":
+        # real-application data plane: ingress datagrams ride the link
+        from cognitive_radio_network_tpu.runtime.traffic import UdpBridge
+
+        bridge = UdpBridge(
+            nc.udp_listen_port, nc.udp_forward_addr, nc.udp_forward_port
+        )
     node = RadioNode(
         i,
         mcfg.sample_rate_hz,
@@ -93,12 +101,13 @@ def build_node(i: int, nc: NodeConfig, mcfg: MediumConfig, log_sink):
         ce_args=nc.ce_args.split() if nc.ce_args else [],
         ce_timeout_ms=nc.ce_timeout_ms,
         traffic=TrafficConfig(
-            traffic_type=nc.net_traffic_type,
+            traffic_type="stream" if bridge is not None else nc.net_traffic_type,
             mean_throughput_bps=nc.net_mean_throughput,
             burst_length=nc.net_burst_length,
         ),
         log_sink=log_sink,
         rx_overflow_interval=nc.rx_overflow_interval,
+        udp_bridge=bridge,
     )
     r = node.radio
     r.print_rx_frame_metrics = nc.print_rx_frame_metrics

@@ -69,12 +69,16 @@ class RadioNode:
         traffic: TrafficConfig | None = None,
         log_sink=None,
         rx_overflow_interval: int = 0,
+        udp_bridge=None,
     ):
         self.node_id = node_id
         self.radio = Radio(medium_rate, medium_center, node_id, log_sink)
         self.radio.set_ce_timeout_ms(ce_timeout_ms)
         self.engine = create_engine(engine_name, self.radio, ce_args)
         self.traffic = TrafficSource(traffic or TrafficConfig(), seed=node_id)
+        # real-application data plane (runtime/traffic.py::UdpBridge):
+        # replaces the synthetic traffic source with real ingress datagrams
+        self.udp_bridge = udp_bridge
         self.log_sink = log_sink
         self._last_ce_t = 0.0
         self.rx_packets: list[tuple[float, int, np.ndarray]] = []
@@ -98,6 +102,15 @@ class RadioNode:
             # reference: traffic still accumulates in the kernel socket; we
             # model only the in-flight queue, so skip generation when stopped
             self.traffic._next_t = max(self.traffic._next_t, t)
+            return
+        if self.udp_bridge is not None:
+            # real ingress datagrams instead of the synthetic source; the
+            # source's packet counter doubles as the sent-packet count
+            for pkt in self.udp_bridge.poll():
+                self.radio.enqueue_packet(pkt)
+                self.traffic.packet_num += 1
+                if self.log_sink is not None:
+                    self.log_sink.log_net_tx(self.node_id, t, pkt)
             return
         for ts, pkt in self.traffic.packets_until(t):
             self.radio.enqueue_packet(pkt)
@@ -151,8 +164,14 @@ class RadioNode:
         while self.radio.rx_packet_sink:
             num, payload = self.radio.rx_packet_sink.popleft()
             self.rx_packets.append((t, num, payload))
+            if self.udp_bridge is not None:
+                self.udp_bridge.forward_payload(payload)
             if self.log_sink is not None:
                 self.log_sink.log_net_rx(self.node_id, t, payload)
+
+    def close(self) -> None:
+        if self.udp_bridge is not None:
+            self.udp_bridge.close()
 
 
 class InterfererNode:

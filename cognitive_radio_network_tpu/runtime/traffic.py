@@ -77,3 +77,69 @@ class TrafficSource:
     @staticmethod
     def packet_number(payload: np.ndarray) -> int:
         return int.from_bytes(bytes(payload[:PACKET_NUM_LEN]), "little")
+
+
+class UdpBridge:
+    """Real-application data plane over UDP sockets.
+
+    The capability class of the reference's per-node kernel networking —
+    a TUN device fed by real UDP sockets so arbitrary programs ride the
+    radio link (src/tun.cpp:31-89; src/crts_cognitive_radio.cpp:722-915)
+    — without the TUN device or root: any real program sends datagrams to
+    the node's INGRESS port and they are carried over the link as
+    packets; decoded DATA payloads are forwarded as datagrams to the
+    configured EGRESS endpoint (the "application" side).  Enable with
+    ``net_traffic_type = "udp"`` plus ``udp_listen_port`` /
+    ``udp_forward_addr`` / ``udp_forward_port`` in the node config.
+    """
+
+    MAX_DGRAM = 2048  # > any frame payload the PHY header can describe
+
+    def __init__(
+        self,
+        listen_port: int = 0,
+        forward_addr: str = "127.0.0.1",
+        forward_port: int = 0,
+    ):
+        import socket
+
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind(("0.0.0.0", int(listen_port)))
+        self.sock.setblocking(False)
+        self.listen_port = self.sock.getsockname()[1]  # 0 -> ephemeral
+        self.forward = (forward_addr, int(forward_port))
+        self.bytes_in = 0
+        self.bytes_out = 0
+
+    def poll(self, limit: int = 256) -> list[np.ndarray]:
+        """Drain pending ingress datagrams (non-blocking) as packets."""
+        out: list[np.ndarray] = []
+        for _ in range(limit):
+            try:
+                data = self.sock.recv(self.MAX_DGRAM)
+            except BlockingIOError:
+                break
+            except OSError:
+                break
+            if data:
+                self.bytes_in += len(data)
+                out.append(np.frombuffer(data, np.uint8).copy())
+        return out
+
+    def forward_payload(self, payload: np.ndarray) -> None:
+        """Decoded link payload -> application datagram (the TUN write
+        side, src/extensible_cognitive_radio.cpp:1441-1450)."""
+        if not self.forward[1]:
+            return
+        try:
+            self.sock.sendto(bytes(payload), self.forward)
+            self.bytes_out += len(payload)
+        except OSError:
+            pass  # application endpoint gone: drop, like an unread TUN
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass

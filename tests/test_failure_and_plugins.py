@@ -296,3 +296,41 @@ class TestProcessRadio:
         assert 0 not in rt.failed_nodes
         # the run completed (node 0 kept stepping to the end)
         assert rt.t >= cfg.run_time
+
+
+class TestUdpDataPlane:
+    """net_traffic_type="udp" (runtime/traffic.py::UdpBridge): REAL
+    applications ride the radio link over UDP sockets — the capability
+    class of the reference's TUN + UDP data plane (src/tun.cpp:31-89,
+    src/crts_cognitive_radio.cpp:722-915), without the kernel device."""
+
+    def test_real_udp_datagrams_ride_the_link(self):
+        import socket
+
+        # the "application": one socket sends into node0's ingress, one
+        # receives node1's egress forwards
+        app_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        app_rx.bind(("127.0.0.1", 0))
+        app_rx.settimeout(10.0)
+        app_tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            cfg = _tiny_scenario()
+            cfg.run_time = 0.4
+            cfg.nodes[0].net_traffic_type = "udp"
+            cfg.nodes[1].net_traffic_type = "udp"
+            cfg.nodes[1].udp_forward_addr = "127.0.0.1"
+            cfg.nodes[1].udp_forward_port = app_rx.getsockname()[1]
+            rt = ScenarioRuntime(cfg)
+            ingress = rt.nodes[0].udp_bridge.listen_port
+            msgs = [bytes([65 + i]) * 200 for i in range(5)]
+            for m in msgs:
+                app_tx.sendto(m, ("127.0.0.1", ingress))
+            rt.run()
+            assert not rt.failed_nodes, rt.failed_nodes
+            got = []
+            while len(got) < len(msgs):
+                got.append(app_rx.recv(4096))
+            assert sorted(got) == sorted(msgs)
+        finally:
+            app_rx.close()
+            app_tx.close()
