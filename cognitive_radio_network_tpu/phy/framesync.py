@@ -1367,7 +1367,8 @@ class StreamReceiver:
         for entry in entries:
             g = entry[0]
             if g["fut"] is None:  # partial group still open: fetch it now
-                self._submit_group() if g is self._open_group else None
+                assert g is self._open_group  # only the open group lacks a fut
+                self._submit_group()
             if not isinstance(g["fut"], np.ndarray):
                 g["fut"] = np.asarray(g["fut"])  # join the async copy
             frames += self._fetch_step(entry, g["fut"][entry[1]])

@@ -376,3 +376,65 @@ class TestPhyGeometry:
         bad = np.array([[4, 0, 99, 0, 0, 0], [4, 0, 0, 9, 9, 9]], np.uint8)
         _, v = _phy_geometry(layout, jnp.asarray(bad))
         assert not np.asarray(v).any()
+
+
+class TestStreamingApiEquivalence:
+    """Randomized equivalence of the three streaming APIs: host process(),
+    synchronous process_device(), and pipelined feed_device()/flush() must
+    produce identical frame sequences over random mixed-config streams
+    with random block sizes and pipeline lags."""
+
+    @pytest.mark.parametrize("seed", [0, 3, 5])
+    def test_random_streams_bitmatch(self, seed):
+        import dataclasses as dc
+
+        from cognitive_radio_network_tpu.phy.framesync import StreamReceiver
+
+        rng = np.random.default_rng(seed)
+        base = OFDMFrameConfig()
+        mods = ["qam4", "qam16", "bpsk"]
+        fecs = ["h128", "none", "rep3"]
+        n = int(rng.integers(8000, 20000))
+        stream = 0.004 * (
+            rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        ).astype(np.complex64)
+        placed = []
+        pos = int(rng.integers(0, 400))
+        while True:
+            cfg = dc.replace(
+                base,
+                mod_scheme=mods[rng.integers(0, len(mods))],
+                fec0=fecs[rng.integers(0, len(fecs))],
+            )
+            gen = OFDMFrameGen(cfg, int(rng.integers(8, 120)))
+            if pos + gen.frame_len + 50 >= n:
+                break
+            h = rng.integers(0, 256, (1, 8)).astype(np.uint8)
+            p = rng.integers(0, 256, (1, gen.payload_len)).astype(np.uint8)
+            iq = np.asarray(gen.assemble(h, p))[0]
+            stream[pos : pos + len(iq)] += iq
+            placed.append((pos, p[0]))
+            pos += len(iq) + int(rng.integers(300, 1200))
+        blk = int(rng.integers(900, 4000))
+        rx_h = StreamReceiver(base, max_frames_per_block=16)
+        rx_d = StreamReceiver(base, max_frames_per_block=16)
+        rx_p = StreamReceiver(base, max_frames_per_block=16)
+        fh, fd, fp = [], [], []
+        for s in range(0, n, blk):
+            seg = stream[s : s + blk]
+            fh += rx_h.process(seg)
+            br = jnp.asarray(seg.real.copy())
+            bi = jnp.asarray(seg.imag.copy())
+            fd += rx_d.process_device(br, bi)
+            fp += rx_p.feed_device(br, bi, max_lag=int(rng.integers(0, 5)))
+        fp += rx_p.flush()
+        assert len(fh) == len(placed)
+        assert len(fd) == len(fh) and len(fp) == len(fh)
+        for a, b, c in zip(fh, fd, fp):
+            assert a["offset"] == b["offset"] == c["offset"]
+            np.testing.assert_array_equal(a["payload"], b["payload"])
+            np.testing.assert_array_equal(a["payload"], c["payload"])
+            np.testing.assert_array_equal(a["header"], b["header"])
+        for (off, pay), f in zip(placed, fh):
+            assert abs(f["offset"] - off) <= 2
+            np.testing.assert_array_equal(f["payload"], pay)
