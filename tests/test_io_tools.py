@@ -194,3 +194,63 @@ class TestMasterCLI:
             ["master", str(tmp_path / "master.cfg"), "-l", str(tmp_path / "logs")]
         )
         assert rc == 0
+
+
+class TestLiveMonitor:
+    """The runtime-tunable live waterfall (the reference QT GUI's
+    interactivity, spectrum_analyzer.py:489-533): key handling and frame
+    production are pure methods, tested without a tty."""
+
+    def _monitor(self):
+        from cognitive_radio_network_tpu.tools.spectrum_analyzer import (
+            BAND_800M,
+            LiveMonitor,
+            scene_source,
+        )
+
+        return LiveMonitor(scene_source(seed=3), BAND_800M, height=8)
+
+    def test_keys_retune_like_the_reference_gui(self):
+        m = self._monitor()
+        f0, r0 = m.cfg.center_hz, m.cfg.sample_rate_hz
+        m.handle_key("F")
+        assert m.cfg.center_hz == f0 + m.FREQ_STEP_HZ
+        m.handle_key("f")
+        m.handle_key("f")
+        assert m.cfg.center_hz == f0 - m.FREQ_STEP_HZ
+        m.handle_key("R")
+        assert m.cfg.sample_rate_hz == 2 * r0
+        m.handle_key("g")
+        assert m.gain_db == -5.0
+        m.handle_key(" ")
+        assert m.paused
+        m.handle_key("q")
+        assert m.done
+
+    def test_step_renders_and_advances(self):
+        m = self._monitor()
+        frame1 = m.step(width=60)
+        assert "fc=833.0 MHz" in frame1
+        assert "rate=13.0 MS/s" in frame1
+        rows_after = m._rows.copy()
+        # PAUSED: the waterfall must freeze while the header updates
+        m.handle_key(" ")
+        frame2 = m.step(width=60)
+        assert "[PAUSED]" in frame2
+        np.testing.assert_array_equal(m._rows, rows_after)
+        # resume + retune: header reflects the new tuning
+        m.handle_key(" ")
+        m.handle_key("F")
+        frame3 = m.step(width=60)
+        assert "fc=834.0 MHz" in frame3
+        # the scene has real occupancancy: rendered rows are not blank
+        body = frame3.split("\n", 1)[1]
+        assert any(c != " " for c in body)
+
+    def test_run_headless_without_tty(self, capsys):
+        # stdin is not a tty under pytest: run() must degrade to plain
+        # frame printing and stop at max_steps
+        m = self._monitor()
+        m.run(max_steps=2, interval_s=0.0)
+        out = capsys.readouterr().out
+        assert out.count("fc=833.0 MHz") == 2
