@@ -358,7 +358,7 @@ def build_forty_eight_node_scenario(
         tx_gain=20.0,
         rx_gain=20.0,
         tx_gain_soft=-6.0,
-        rx_scan_blocks=2,  # scan batching: per-node CPU, +<=1 block latency
+        rx_scan_blocks=4,  # scan batching: per-node CPU, +<=3 blocks (~12 ms) latency
     )
     nodes = []
     cells, per_cell = 8, 6
