@@ -76,12 +76,14 @@ def _fetch_bw_mbps(samples: int = 3) -> float:
     minutes, and the adaptive-link figure (which must deliver every
     payload byte to the host) tracks it — record it so a low adaptive
     number can be read against the link state, not guessed at."""
-    x = jnp.arange(1 << 20, dtype=jnp.int32)
-    _ = np.asarray(x[:1])
+    base = jnp.arange(1 << 20, dtype=jnp.int32)
+    _ = np.asarray(base[:1])
     best = float("inf")
-    for _ in range(samples):
+    for i in range(samples):
+        y = base + i  # FRESH buffer: jax caches an array's host copy, so
+        _ = np.asarray(y[:1])  # re-fetching one array measures nothing
         t0 = time.perf_counter()
-        _ = np.asarray(x)
+        _ = np.asarray(y)
         best = min(best, time.perf_counter() - t0)
     return (1 << 22) / best / 1e6
 
