@@ -247,7 +247,11 @@ PERF_FLOORS = {
     "sense_msps": 15000.0,
     "wideband_msps": 8000.0,
     "ofdm_link_msps": 400.0,
-    "adaptive_link_msps": 80.0,
+    # the adaptive figure is fetch-BANDWIDTH-bound and the tunnel swings
+    # 10-60 MB/s over minutes (~50 MS/s at the 10 MB/s floor), so its
+    # collapse bound sits below the worst healthy-link reading, not below
+    # normal variance like the scalar-fetch figures above
+    "adaptive_link_msps": 40.0,
 }
 
 
