@@ -37,6 +37,11 @@ class TestOnChipGates:
     def test_fused_wideband_history_seed(self):
         tpu_gates.gate_sharded_wideband_history(np.random.default_rng(1))
 
+    def test_adaptive_stream_decodes_on_chip(self):
+        """The fused adaptive streaming step (in-graph resolution +
+        speculative decode + device residual) on real hardware."""
+        tpu_gates.gate_adaptive_stream(np.random.default_rng(5))
+
     def test_perf_floors(self):
         """~10 s perf smoke: the chip numbers must not silently collapse
         (floors are generous — far below normal variance, far above any

@@ -362,3 +362,62 @@ def gate_perf_floors(rng=None) -> None:
         f"fixed-rx collapsed: {fixed_rx:.0f} < "
         f"{PERF_FLOORS['ofdm_link_msps']} MS/s"
     )
+
+
+def gate_adaptive_stream(rng=None) -> None:
+    """The fused adaptive stream step ON HARDWARE (phy/framesync.py::
+    _stream_step_graph): a mixed-config burst with a block-straddling
+    frame through process_device — in-graph candidate resolution,
+    speculative dual-spec decode, device-resident residual carry, and the
+    packed single-array fetch must all survive real-TPU lowering with
+    payloads intact (the CPU suite runs this path in XLA:CPU only)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from cognitive_radio_network_tpu.phy import OFDMFrameConfig, OFDMFrameGen
+    from cognitive_radio_network_tpu.phy.framesync import StreamReceiver
+
+    rng = rng or np.random.default_rng(5)
+    cfg_a = OFDMFrameConfig()
+    cfg_b = dc.replace(cfg_a, mod_scheme="qam16", fec0="none")
+    gen_a = OFDMFrameGen(cfg_a, 64)
+    gen_b = OFDMFrameGen(cfg_b, 48)
+    f = 3
+    ha = rng.integers(0, 256, (f, 8)).astype(np.uint8)
+    pa = rng.integers(0, 256, (f, 64)).astype(np.uint8)
+    hb = rng.integers(0, 256, (f, 8)).astype(np.uint8)
+    pb = rng.integers(0, 256, (f, 48)).astype(np.uint8)
+    # planes, not complex: complex64 cannot cross the device->host
+    # boundary on this backend (signal/iq.py)
+    pl_a = np.asarray(gen_a.assemble(ha, pa, as_planes=True))
+    pl_b = np.asarray(gen_b.assemble(hb, pb, as_planes=True))
+    ia = (pl_a[..., 0] + 1j * pl_a[..., 1]).astype(np.complex64)
+    ib = (pl_b[..., 0] + 1j * pl_b[..., 1]).astype(np.complex64)
+    n = 16000
+    stream = 0.003 * (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    ).astype(np.complex64)
+    pos, placed = 60, []
+    for k in range(2 * f):
+        frame = ia[k // 2] if k % 2 == 0 else ib[k // 2]
+        if pos + len(frame) + 50 >= n:
+            break
+        stream[pos : pos + len(frame)] += frame
+        placed.append((pos, frame))
+        pos += len(frame) + 911  # blocks of 2048 -> straddlers
+    rx = StreamReceiver(cfg_a, max_frames_per_block=8)
+    frames = []
+    blk = 2048
+    for s in range(0, n, blk):
+        seg = stream[s : s + blk]
+        frames += rx.process_device(
+            jnp.asarray(seg.real.copy()), jnp.asarray(seg.imag.copy())
+        )
+    assert len(frames) == len(placed), (len(frames), len(placed))
+    pays = {64: list(pa), 48: list(pb)}
+    for fr, (off, _f) in zip(frames, placed):
+        assert abs(fr["offset"] - off) <= 2, (fr["offset"], off)
+        assert fr["stats"].payload_valid
+        want = pays[len(fr["payload"])].pop(0)
+        np.testing.assert_array_equal(fr["payload"], want)
