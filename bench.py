@@ -23,7 +23,6 @@ contended sample.  Floors (tests/tpu_gates.py::PERF_FLOORS, shared with
 """
 
 import json
-import statistics
 import sys
 import time
 
@@ -46,13 +45,17 @@ TRIALS = 3
 
 def _median_trials(run_once, trials: int = TRIALS):
     """Median-of-trials wrapper for chip-timed sections: one contended
-    pass on the tunneled backend must not become the number of record."""
-    vals = [run_once() for _ in range(trials)]
-    return (
-        float(statistics.median(vals)),
-        float(min(vals)),
-        float(max(vals)),
-    )
+    pass on the tunneled backend must not become the number of record.
+
+    ``run_once`` returns either a value or (value, side_dict); returns
+    (median, min, max, side-of-the-MEDIAN-trial) so side-channel figures
+    (reps, frames/s, per-cycle latency) stay consistent with the headline
+    value instead of leaking from whichever trial ran last."""
+    results = [run_once() for _ in range(trials)]
+    vals = [r[0] if isinstance(r, tuple) else r for r in results]
+    mid = sorted(range(trials), key=lambda i: vals[i])[trials // 2]
+    side = results[mid][1] if isinstance(results[mid], tuple) else None
+    return float(vals[mid]), float(min(vals)), float(max(vals)), side
 
 
 def _fetch_rtt_ms(samples: int = 5) -> float:
@@ -172,15 +175,14 @@ def main() -> None:
             if elapsed > 1.5 or reps >= 512:
                 break
             reps *= 2
-        sense_trial.reps = reps
-        sense_trial.elapsed = elapsed
-        return reps * n / elapsed / 1e6
+        return reps * n / elapsed / 1e6, {
+            "reps": reps,
+            "block_ms": elapsed / (reps * cycles) * 1e3,
+        }
 
-    msps, msps_lo, msps_hi = _median_trials(sense_trial)
-    reps = sense_trial.reps
-    amortized_block_ms = float(
-        sense_trial.elapsed / (sense_trial.reps * cycles) * 1e3
-    )
+    msps, msps_lo, msps_hi, sside = _median_trials(sense_trial)
+    reps = sside["reps"]
+    amortized_block_ms = float(sside["block_ms"])
 
     # True p50/p99 BLOCK latency (the BASELINE metric).  One 64-cycle
     # sense block costs ~10 us on the chip — far below the tunneled
@@ -273,7 +275,9 @@ def main() -> None:
             time.perf_counter() - t0
         ) / 1e6
 
-    wideband_msps, wideband_lo, wideband_hi = _median_trials(wideband_trial)
+    wideband_msps, wideband_lo, wideband_hi, _ = _median_trials(
+        wideband_trial
+    )
 
     # OFDM link: full-rate receive on the fused fixed-config path — top-K
     # Schmidl&Cox detect + gather + demod + FEC + CRC in ONE dispatch per
@@ -293,11 +297,10 @@ def main() -> None:
             if oel > 1.0 or oreps >= 256:
                 break
             oreps *= 2
-        ofdm_trial.fps = oreps * F / oel
-        return oreps * n_link / oel / 1e6
+        return oreps * n_link / oel / 1e6, {"fps": oreps * F / oel}
 
-    ofdm_msps, ofdm_lo, ofdm_hi = _median_trials(ofdm_trial)
-    ofdm_fps = ofdm_trial.fps
+    ofdm_msps, ofdm_lo, ofdm_hi, oside = _median_trials(ofdm_trial)
+    ofdm_fps = oside["fps"]
 
     # Adaptive link: the liquid-equivalent STREAMING receiver — the path
     # that replaces ofdmflexframesync_execute per SURVEY §2.1
@@ -388,11 +391,12 @@ def main() -> None:
         assert len(af) == passes * F_ad
         gp = np.stack([f["payload"] for f in af[:F_ad]])
         assert np.array_equal(gp, ap)
-        adaptive_trial.fps = passes * F_ad / ael
-        return passes * n_ad / ael / 1e6
+        return passes * n_ad / ael / 1e6, {"fps": passes * F_ad / ael}
 
-    adaptive_msps, adaptive_lo, adaptive_hi = _median_trials(adaptive_trial)
-    adaptive_fps = adaptive_trial.fps
+    adaptive_msps, adaptive_lo, adaptive_hi, aside = _median_trials(
+        adaptive_trial
+    )
+    adaptive_fps = aside["fps"]
 
     # Alt mode: bf16 IQ ingest + single-pass bf16 matmuls (precision
     # "default") — half the HBM read traffic, ~0.5% feature error (well
@@ -416,7 +420,7 @@ def main() -> None:
         _ = np.asarray(out16["decision"][:1])
         return reps16 * n / (time.perf_counter() - t0) / 1e6
 
-    msps16, msps16_lo, msps16_hi = _median_trials(bf16_trial)
+    msps16, msps16_lo, msps16_hi, _ = _median_trials(bf16_trial)
 
     # Perf floors (tests/tpu_gates.py::PERF_FLOORS, shared with the -m tpu
     # suite): generous bounds far below normal variance but far above any

@@ -431,36 +431,16 @@ class ShardedStreamReceiver:
     def _resolve_candidates(
         self, bests, peaks, hdr_ok, phys, n, threshold, keep_from
     ):
-        """Host side of the adaptive receive (same discipline as
-        StreamReceiver._resolve_candidates): order candidates by position,
-        resolve per-frame configs from decoded PHY headers, group by
-        config, track the incomplete-frame carry point."""
-        accepted: dict[tuple, list[tuple[int, int]]] = {}
-        consumed_end = 0
-        incomplete = False
-        for i in np.argsort(bests, kind="stable"):
-            off, pk = int(bests[i]), float(peaks[i])
-            if pk < threshold or off < consumed_end:
-                continue
-            if off + self.prefix_len > n:
-                keep_from = min(keep_from, off)
-                incomplete = True
-                break
-            if not hdr_ok[i]:
-                continue
-            parsed = unpack_phy_header(phys[i])
-            if parsed is None:
-                continue
-            sync = self._sync_for(*parsed)
-            flen = sync.gen.frame_len
-            if off + flen > n:
-                keep_from = min(keep_from, off)
-                incomplete = True
-                break  # frame incomplete; resume next block
-            accepted.setdefault(parsed, []).append((off, int(i)))
-            consumed_end = off + flen
-        self.pending_frame = incomplete
-        return accepted, consumed_end, keep_from
+        """Host side of the adaptive receive: THE SAME resolution loop as
+        the single-device receiver, shared by delegation (this class has
+        the same _sync_for/prefix_len/pending_frame surface) — the
+        sharded and unsharded receivers are tested to bit-match, so the
+        acceptance rules must live in exactly one place."""
+        from cognitive_radio_network_tpu.phy.framesync import StreamReceiver
+
+        return StreamReceiver._resolve_candidates(
+            self, bests, peaks, hdr_ok, phys, n, threshold, keep_from
+        )
 
     def _decode_accepted(self, accepted, cfos, rr_d, ri_d, shard_len, base):
         """Dispatch 2..: one batched sharded gather+demod+decode per

@@ -841,9 +841,9 @@ def _stream_step_graph(
     round trip.
 
     Returns (new_res_r, new_res_i, new_res_len, buf_r, buf_i, packed)
-    where ``packed`` is ONE int32 array (k+1, 4 + 2*S + ceil(W/4)): cols
-    0..3+2S, rows 0..k-1 = [best, cfo.bits, accept, match_idx, then per
-    spec (evm, rssi).bits]; row k = meta [res_len_in, keep_from,
+    where ``packed`` is ONE int32 array (k+1, 10 + 2*S + ceil(W/4)): cols
+    0..9+2S, rows 0..k-1 = [best, cfo.bits, accept, match_idx, phy[6],
+    then per spec (evm, rssi).bits]; row k = meta [res_len_in, keep_from,
     consumed_end, incomplete, tiny, 0...]; the remaining columns are each
     candidate's MATCHED-spec decode bytes (uint8 (k, Wmax), Wmax =
     max_s(16 + P_s), headers/phy/ok flags included) packed little-endian

@@ -222,6 +222,15 @@ class ScenarioRuntime:
                 )
                 self.steady_t = self.t - t_k0 if wall_q is not None else 0.0
         finally:
+            # end-of-run flush: batched rx scanning (rx_scan_blocks) may
+            # hold tail frames; failed nodes are left alone
+            for i, node in enumerate(self.nodes):
+                fin = getattr(node, "finalize", None)
+                if callable(fin) and i not in self.failed_nodes:
+                    try:
+                        fin(self.t)
+                    except Exception as e:  # noqa: BLE001 - isolation
+                        self._node_failed(i, e)
             self.log.flush()  # persist spill logs even on abnormal exit
             for node in self.nodes:  # e.g. ProcessRadioNode child reaping
                 closer = getattr(node, "close", None)

@@ -939,6 +939,9 @@ def _run_node_client_inner(
                 step += 1
             if prev is not None:
                 process_rx(*prev)  # drain the one-step pipeline
+            fin = getattr(node, "finalize", None)
+            if callable(fin):  # flush the batched rx scan's tail frames
+                fin(t)
         finally:
             if executor is not None:
                 executor.shutdown(wait=True)

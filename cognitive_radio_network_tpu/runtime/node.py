@@ -169,6 +169,14 @@ class RadioNode:
             if self.log_sink is not None:
                 self.log_sink.log_net_rx(self.node_id, t, payload)
 
+    def finalize(self, t: float) -> None:
+        """End-of-run: flush the batched rx scan (rx_scan_blocks may hold
+        up to N-1 hot blocks whose frames would otherwise be lost) and
+        drain the resulting packets/events."""
+        self.radio.flush_rx_scan(t)
+        self.run_ce(t)
+        self.drain_rx_packets(t)
+
     def close(self) -> None:
         if self.udp_bridge is not None:
             self.udp_bridge.close()

@@ -163,6 +163,10 @@ class ProcessRadioNode:
                 self._proc.wait(timeout=5)
             except subprocess.TimeoutExpired:
                 self._proc.kill()
+                try:  # reap: an unkillable-in-time child must not zombify
+                    self._proc.wait(timeout=2)
+                except subprocess.TimeoutExpired:
+                    pass
 
     def __del__(self):  # last-resort cleanup; runtimes call close()
         try:

@@ -558,7 +558,13 @@ class Radio:
     # -- rx --
 
     def _apply_rx_params(self) -> None:
-        self._rx = StreamReceiver(self._rx_cfg())
+        # the candidate budget must scale with the scan-batch size, or an
+        # N-block buffer still returns only a 1-block budget of frames
+        # (silent loss on dense streams)
+        self._rx = StreamReceiver(
+            self._rx_cfg(),
+            max_frames_per_block=16 * max(int(self.rx_scan_accumulate), 1),
+        )
         self._rx_dirty = False
         self._rx_resid_sens = np.zeros(0, np.complex64)
         # a retune changes what "in band" means: relearn the reference;
@@ -724,6 +730,13 @@ class Radio:
             self._rx_acc = []
             self._rx_acc_pw = []
         self._process_rx_buffer(base, ibp, t)
+
+    def flush_rx_scan(self, t: float) -> None:
+        """Public end-of-stream flush: scan whatever hot blocks the
+        rx_scan_accumulate batcher still holds (the node runtimes call
+        this at shutdown so batched scanning never loses tail frames)."""
+        if self.rx_running and self._rx is not None:
+            self._flush_rx_acc(t)
 
     def _flush_rx_acc(self, t: float) -> None:
         """Scan any accumulated hot blocks NOW (a cold block, squelch skip,

@@ -93,7 +93,11 @@ class UdpBridge:
     ``udp_forward_addr`` / ``udp_forward_port`` in the node config.
     """
 
-    MAX_DGRAM = 2048  # > any frame payload the PHY header can describe
+    # max UDP datagram (~65507 B payload): recv with a smaller buffer
+    # silently TRUNCATES a datagram on a SOCK_DGRAM socket.  The PHY
+    # header's payload_len field is 16-bit, so any full datagram can
+    # ride the link as one frame.
+    MAX_DGRAM = 65536
 
     def __init__(
         self,

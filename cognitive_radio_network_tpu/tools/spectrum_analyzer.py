@@ -270,6 +270,8 @@ def main(argv=None) -> int:
                 if blk is None or blk.shape[0] < n:  # loop the capture
                     reader.cursor.sample_index = 0
                     blk = reader.read(n)
+                if blk is None or blk.shape[0] == 0:  # empty capture
+                    return np.zeros((n, 2), np.float32)
                 return blk
 
             LiveMonitor(src, cfg).run(max_steps=args.steps)

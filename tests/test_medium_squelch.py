@@ -297,3 +297,35 @@ class TestRxScanBatching:
         pay1 = [bytes(m.payload) for m in e1 if m.payload is not None]
         pay2 = [bytes(m.payload) for m in e2 if m.payload is not None]
         assert pay1 == pay2 == [bytes(p) for p in pay]
+
+    def test_tail_frames_flush_at_finalize(self, rng):
+        """Code-review r5 regression: with rx_scan_blocks > 1 a run ending
+        mid-accumulation must not lose the held frames — flush_rx_scan
+        (called by the runtimes' finalize path) recovers them."""
+        from cognitive_radio_network_tpu.phy.framegen import (
+            OFDMFrameConfig,
+            OFDMFrameGen,
+        )
+        from cognitive_radio_network_tpu.signal.resample import resample_poly
+
+        gen = OFDMFrameGen(OFDMFrameConfig(), 64)
+        r = Radio(4e6, 465e6)
+        r.params.rx_freq = 465e6
+        r.params.rx_rate = 1e6
+        r.rx_noise_power = 1e-9
+        r.rx_scan_accumulate = 4
+        r.start_rx()
+        hdr = rng.integers(0, 256, (1, 8)).astype(np.uint8)
+        pay = rng.integers(0, 256, (1, 64)).astype(np.uint8)
+        iq = resample_poly(np.asarray(gen.assemble(hdr, pay)), 4, 1)
+        blk = np.zeros(16384, np.complex64)
+        blk[1000 : 1000 + iq.shape[1]] = iq[0]
+        r.push_rx_block(blk, 0.0)  # one hot block: held by the batcher
+        assert len(r.stats.records) == 0  # not scanned yet
+        r.flush_rx_scan(0.004)
+        assert len(r.stats.records) == 1  # the tail frame is recovered
+        np.testing.assert_array_equal(
+            r.rx_packet_sink[0][1] if r.rx_packet_sink else
+            next(m.payload for m in r._events if m.payload is not None),
+            pay[0],
+        )
