@@ -438,3 +438,51 @@ class TestStreamingApiEquivalence:
         for (off, pay), f in zip(placed, fh):
             assert abs(f["offset"] - off) <= 2
             np.testing.assert_array_equal(f["payload"], pay)
+
+    def test_variable_block_sizes_pipeline(self):
+        """feed_device with a DIFFERENT block size every call: each size
+        compiles its own step shape and closes the open fetch group, and
+        the device-chained residual must still carry exactly (bit-match
+        vs the host path)."""
+        import dataclasses as dc
+
+        from cognitive_radio_network_tpu.phy.framesync import StreamReceiver
+
+        rng = np.random.default_rng(103)
+        base = OFDMFrameConfig()
+        n = 16000
+        stream = 0.004 * (
+            rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        ).astype(np.complex64)
+        placed, pos = [], 200
+        while True:
+            cfg = dc.replace(
+                base, mod_scheme=["qam4", "qam16"][rng.integers(0, 2)]
+            )
+            gen = OFDMFrameGen(cfg, int(rng.integers(16, 100)))
+            if pos + gen.frame_len + 50 >= n:
+                break
+            h = rng.integers(0, 256, (1, 8)).astype(np.uint8)
+            p = rng.integers(0, 256, (1, gen.payload_len)).astype(np.uint8)
+            iq = np.asarray(gen.assemble(h, p))[0]
+            stream[pos : pos + len(iq)] += iq
+            placed.append((pos, p[0]))
+            pos += len(iq) + int(rng.integers(400, 900))
+        rx_h = StreamReceiver(base, max_frames_per_block=16)
+        rx_p = StreamReceiver(base, max_frames_per_block=16)
+        fh, fp, s = [], [], 0
+        while s < n:
+            blk = int(rng.integers(700, 3500))
+            seg = stream[s : s + blk]
+            s += blk
+            fh += rx_h.process(seg)
+            fp += rx_p.feed_device(
+                jnp.asarray(seg.real.copy()),
+                jnp.asarray(seg.imag.copy()),
+                max_lag=int(rng.integers(0, 4)),
+            )
+        fp += rx_p.flush()
+        assert len(fh) == len(placed) and len(fp) == len(fh)
+        for a, c in zip(fh, fp):
+            assert a["offset"] == c["offset"]
+            np.testing.assert_array_equal(a["payload"], c["payload"])
