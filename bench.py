@@ -609,16 +609,32 @@ def main() -> None:
 
 if __name__ == "__main__":
     # the tunneled backend throws occasional one-off UNIMPLEMENTED errors
-    # (CLAUDE.md); one such flake must not cost the whole capture — retry
-    # the run once before giving up (correctness gates re-run with it)
+    # (CLAUDE.md); one such flake must not cost the whole capture.  The
+    # retry re-EXECS a fresh interpreter: the error can poison subsequent
+    # transfers in the same process (verify skill notes), so an in-process
+    # second run could fail on the first fetch.  CRN_BENCH_RETRIED guards
+    # against a retry loop; exception chains are walked because the
+    # UNIMPLEMENTED status often rides __cause__/__context__ of a wrapper.
     try:
         main()
     except Exception as e:  # noqa: BLE001 - single retry for backend flakes
-        if "UNIMPLEMENTED" not in str(e):
-            raise
+        import os as _os
         import sys as _sys
         import time as _time
 
-        print(f"retrying once after backend flake: {e}", file=_sys.stderr)
+        chain, seen = [], set()
+        err = e
+        while err is not None and id(err) not in seen:
+            seen.add(id(err))
+            chain.append(str(err))
+            err = err.__cause__ or err.__context__
+        if (
+            not any("UNIMPLEMENTED" in c for c in chain)
+            or _os.environ.get("CRN_BENCH_RETRIED")
+        ):
+            raise
+        print(f"re-execing once after backend flake: {e}", file=_sys.stderr)
+        _sys.stderr.flush()
+        _os.environ["CRN_BENCH_RETRIED"] = "1"
         _time.sleep(10.0)
-        main()
+        _os.execv(_sys.executable, [_sys.executable] + _sys.argv)

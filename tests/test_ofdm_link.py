@@ -486,3 +486,7 @@ class TestStreamingApiEquivalence:
         for a, c in zip(fh, fp):
             assert a["offset"] == c["offset"]
             np.testing.assert_array_equal(a["payload"], c["payload"])
+            np.testing.assert_array_equal(a["header"], c["header"])
+        for (off, pay), f in zip(placed, fh):  # ground truth, not just parity
+            assert abs(f["offset"] - off) <= 2
+            np.testing.assert_array_equal(f["payload"], pay)
